@@ -1,0 +1,363 @@
+"""Electron and phonon baths as JAX pytrees.
+
+Re-derivation of /root/reference/sclmd/baths.py for the TPU engine:
+baths are immutable ``flax.struct`` dataclasses whose force rule
+``bforce(bath, it, phis, qhis, nph)`` is a pure, jittable function of the
+step index and the velocity/displacement history rings. Noise series are
+attached functionally (``gnoi(bath, key) -> bath``) so ensembles can carry
+independent per-trajectory noise via ``vmap``.
+
+Physics conventions mirror the reference:
+
+* ebath (baths.py:55-255): Markovian electronic friction ``-efric . v``
+  plus bias-driven wind/renormalisation/Berry forces
+  ``+ V (exim - zeta1) . q - V zeta2 . v`` (baths.py:243-249). NOTE the
+  reference gates the bias terms on ``exim.any() AND zeta1.any() AND
+  zeta2.any()`` (baths.py:233), which silently drops the wind force when
+  only ``exim`` is supplied (the examples/current-induced/rundp.py case);
+  here the closed form is always applied — it reduces to the plain
+  friction branch when the matrices are zero.
+* phbath (baths.py:258-458): non-Markovian memory kernel
+  ``f = noise(t) - dt * sum_m K[m] . v[t-m]`` (local baths drop the dt,
+  baths.py:453-457), with the kernel built from Gamma(w) by the discrete
+  cosine transform ``gamt`` (baths.py:19-52) including the artificial-
+  damping variant, or from a Debye model (baths.py:333-339).
+* The ``K00/K01/V01`` lead-block mode aborts in the reference
+  (baths.py:316-320); here it is implemented via the decimation surface
+  Green's function (see sclmd_tpu.selfenergy).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from sclmd_tpu.ops import noise as NZ
+from sclmd_tpu.ops.functions import (
+    antisymmetrize,
+    chkShape,
+    flinterp,
+    symmetrize,
+)
+
+
+def _as_f(x, dtype):
+    return jnp.asarray(x, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Electron bath
+# ---------------------------------------------------------------------------
+@struct.dataclass
+class EBath:
+    """Markovian electron bath with optional current-induced forces."""
+
+    cids: jax.Array                    # (nc,) int32 DOF indices
+    efric: jax.Array                   # (nc, nc) symmetric friction
+    exim: jax.Array                    # (nc, nc) antisymmetric Im[MALMAR]
+    exip: jax.Array                    # (nc, nc) symmetric Re[MALMAR]
+    zeta1: jax.Array                   # (nc, nc) symmetric renormalisation
+    zeta2: jax.Array                   # (nc, nc) antisymmetric Berry
+    T: jax.Array                       # scalar temperature (leaf -> vmappable)
+    bias: jax.Array                    # scalar bias mu_L - mu_R
+    noise: Optional[jax.Array]         # (nmd, nc) colored noise series
+    dt: float = struct.field(pytree_node=False)
+    nmd: int = struct.field(pytree_node=False)
+    wmax: Optional[float] = struct.field(pytree_node=False, default=None)
+    nw: Optional[int] = struct.field(pytree_node=False, default=None)
+    classical: bool = struct.field(pytree_node=False, default=False)
+    zpmotion: bool = struct.field(pytree_node=False, default=True)
+    # static: skip the wind/Berry/renormalisation matvecs when the
+    # matrices were never supplied
+    bias_terms: bool = struct.field(pytree_node=False, default=False)
+
+    # --- reference-compatible attributes ---
+    @property
+    def nc(self) -> int:
+        return self.efric.shape[-1]
+
+    @property
+    def ml(self) -> int:
+        return 1  # electronic friction is time-local (baths.py:96-97)
+
+    @property
+    def kernel(self):
+        return self.efric[None]
+
+    @property
+    def wl(self):
+        if self.wmax is None or self.nw is None:
+            return None
+        return np.array([self.wmax * i / self.nw for i in range(self.nw)])
+
+    # --- functional API ---
+    def gnoi(self, key: jax.Array) -> "EBath":
+        """Attach a freshly synthesised noise series (baths.py:176-192)."""
+        xi = NZ.enoise(key, self.efric, self.exim, self.exip, self.bias,
+                       self.T, self.wmax, self.dt, self.nmd,
+                       self.classical, self.zpmotion)
+        return self.replace(noise=xi)
+
+    def GetSig(self):
+        """Effective wideband retarded self-energy Sigma(w) (baths.py:194-209)."""
+        wl = jnp.asarray(self.wl, dtype=self.efric.dtype)
+        sig = (-1j * wl[:, None, None] * (self.efric + self.bias * self.zeta2)
+               + self.bias * self.zeta1 - self.bias * self.exim)
+        return sig
+
+    def local_force(self, it, phis_c, qhis_c):
+        """Bath force on the bath's own DOFs.
+
+        ``phis_c``/``qhis_c`` are the history rings already gathered onto
+        ``cids``: shape (ml, nc). Implements baths.py:224-255.
+        """
+        f = jax.lax.dynamic_index_in_dim(
+            self.noise, jnp.mod(it, self.nmd), axis=0, keepdims=False)
+        v = phis_c[0]
+        f = f - self.efric @ v
+        if self.bias_terms:
+            q = qhis_c[0]
+            f = f + self.bias * ((self.exim - self.zeta1) @ q) \
+                  - self.bias * (self.zeta2 @ v)
+        return f
+
+
+def ebath(cats, T, dt, nmd, wmax=None, nw=None, bias=0.0,
+          efric=None, exim=None, exip=None, zeta1=None, zeta2=None,
+          classical: bool = False, zpmotion: bool = True,
+          dtype=jnp.float32) -> EBath:
+    """Build an electron bath, mirroring ``ebath.__init__``/``CheckEmat``
+    (baths.py:76-174): efric/exip/zeta1 are symmetrised, exim/zeta2
+    antisymmetrised, shapes validated against ``cats``.
+    """
+    cids = jnp.asarray(np.asarray(cats, dtype=np.int32))
+    nc = int(cids.shape[0])
+    if efric is None:
+        raise ValueError("ebath: efric is required (reference sets ebath=False"
+                         " and never uses such a bath)")
+    n = chkShape(efric)
+    if n != nc:
+        raise ValueError(f"ebath: efric shape {n} != len(cats) {nc}")
+
+    def _sym(m):
+        return symmetrize(_as_f(m, dtype))
+
+    def _asym(m):
+        return antisymmetrize(_as_f(m, dtype))
+
+    z = jnp.zeros((nc, nc), dtype)
+    for name, m in (("exim", exim), ("exip", exip),
+                    ("zeta1", zeta1), ("zeta2", zeta2)):
+        if m is not None and chkShape(m) != nc:
+            raise ValueError(f"ebath: {name} has wrong dimension")
+    return EBath(
+        cids=cids,
+        efric=_sym(efric),
+        exim=_asym(exim) if exim is not None else z,
+        exip=_sym(exip) if exip is not None else z,
+        zeta1=_sym(zeta1) if zeta1 is not None else z,
+        zeta2=_asym(zeta2) if zeta2 is not None else z,
+        T=_as_f(T, dtype),
+        bias=_as_f(bias, dtype),
+        noise=None,
+        dt=float(dt), nmd=int(nmd),
+        wmax=None if wmax is None else float(wmax),
+        nw=None if nw is None else int(nw),
+        classical=bool(classical), zpmotion=bool(zpmotion),
+        bias_terms=(exim is not None or zeta1 is not None
+                    or zeta2 is not None),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phonon bath
+# ---------------------------------------------------------------------------
+def gamt(tl, wl, gwl, gam, eta_ad: float = 0.0) -> jax.Array:
+    """Friction kernel K(t) from Gamma(w) by direct cosine sum.
+
+    Mirrors baths.py:19-52: K(t) = (2/pi) * wmax * mean_w[Gamma(w) cos(wt)]
+    over the bath's ``wl`` grid, with Gamma interpolated from (gwl, gam);
+    the ``eta_ad`` != 0 variant adds artificial damping e^{-eta t} with the
+    w/(w -+ i eta) weights. Batched matrix form: the (nt, nw) cosine matrix
+    contracts with the (nw, nc*nc) Gamma table on the MXU.
+    """
+    tl = jnp.asarray(tl)
+    wl = jnp.asarray(wl)
+    gam = jnp.asarray(gam)
+    gw = flinterp(wl, jnp.asarray(gwl), gam)          # (nw, nc, nc)
+    nw, nc = gw.shape[0], gw.shape[-1]
+    gflat = gw.reshape(nw, nc * nc)
+    if eta_ad == 0.0:
+        cosm = jnp.cos(wl[None, :] * tl[:, None])      # (nt, nw)
+        kt = 2.0 * (cosm @ gflat) / nw * wl[-1] / jnp.pi
+        return jnp.real(kt).reshape(tl.shape[0], nc, nc)
+    wc = wl.astype(jnp.result_type(wl.dtype, jnp.complex64))
+    phase_m = (wc / (wc - 1j * eta_ad))[None, :] * \
+        jnp.exp(-1j * wc[None, :] * tl[:, None] - eta_ad * tl[:, None])
+    phase_p = (wc / (wc + 1j * eta_ad))[None, :] * \
+        jnp.exp(+1j * wc[None, :] * tl[:, None] - eta_ad * tl[:, None])
+    kt = ((phase_m + phase_p) @ gflat.astype(phase_m.dtype)) / nw * wl[-1] / jnp.pi
+    return jnp.real(kt).reshape(tl.shape[0], nc, nc)
+
+
+@struct.dataclass
+class PhBath:
+    """Phonon bath: Debye (local) or memory-kernel (non-Markovian)."""
+
+    cids: jax.Array                   # (nc,) int32
+    T: jax.Array                      # scalar leaf
+    gamma: jax.Array                  # (ngw, nc, nc) Gamma(w) table
+    gwl: jax.Array                    # (ngw,) energy grid of gamma
+    kernel: Optional[jax.Array]       # (ml, nc, nc) K(t) time kernel
+    kernel_im: Optional[jax.Array]    # (nc, ml*nc) MXU-layout kernel
+    noise: Optional[jax.Array]        # (nmd, nc)
+    dt: float = struct.field(pytree_node=False)
+    nmd: int = struct.field(pytree_node=False)
+    ml: int = struct.field(pytree_node=False)
+    nw: int = struct.field(pytree_node=False)
+    wmax: float = struct.field(pytree_node=False)
+    local: bool = struct.field(pytree_node=False)
+    eta_ad: float = struct.field(pytree_node=False, default=0.0)
+    classical: bool = struct.field(pytree_node=False, default=False)
+    zpmotion: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def nc(self) -> int:
+        return self.cids.shape[0]
+
+    @property
+    def wl(self):
+        return np.array([self.wmax * i / self.nw for i in range(self.nw)])
+
+    def gmem(self) -> "PhBath":
+        """Generate the time-domain memory kernel (baths.py:412-446)."""
+        if self.local:
+            kern = self.gamma[: 1]
+            new = self.replace(kernel=kern,
+                               kernel_im=_kernel_im(kern))
+            return new
+        tl = self.dt * jnp.arange(self.ml, dtype=self.gamma.dtype)
+        kern = gamt(tl, jnp.asarray(self.wl, self.gamma.dtype),
+                    self.gwl, self.gamma, self.eta_ad)
+        new_gamma = self.gamma
+        if self.eta_ad != 0.0:
+            # refresh Gamma(w) by cosine-transforming the damped kernel
+            # back onto the gwl grid (baths.py:437-445)
+            cosm = jnp.cos(self.gwl[:, None] * tl[None, :])   # (ngw, ml)
+            nc = kern.shape[-1]
+            new_gamma = (self.dt * cosm @ kern.reshape(self.ml, nc * nc)
+                         ).reshape(self.gwl.shape[0], nc, nc)
+        return self.replace(kernel=kern, kernel_im=_kernel_im(kern),
+                            gamma=new_gamma)
+
+    def gnoi(self, key: jax.Array) -> "PhBath":
+        """Attach phonon colored noise (baths.py:397-410)."""
+        xi = NZ.phnoise(key, self.gamma, self.gwl, self.T, self.wmax,
+                        self.dt, self.nmd, self.classical, self.zpmotion)
+        return self.replace(noise=xi)
+
+    def local_force(self, it, phis_c, qhis_c):
+        """Memory-kernel friction force on the bath DOFs (baths.py:448-458)."""
+        f = jax.lax.dynamic_index_in_dim(
+            self.noise, jnp.mod(it, self.nmd), axis=0, keepdims=False)
+        if self.ml == 1:
+            return f - self.kernel[0] @ phis_c[0]
+        vflat = phis_c.reshape(self.ml * self.nc)
+        conv = self.kernel_im @ vflat
+        return f - conv * self.dt
+
+
+def _kernel_im(kernel: jax.Array) -> jax.Array:
+    """(ml, nc, nc) -> (nc, ml*nc) layout so the history convolution is a
+    single MXU matvec (matmul once trajectories are vmapped)."""
+    ml, nc = kernel.shape[0], kernel.shape[-1]
+    return jnp.transpose(kernel, (1, 0, 2)).reshape(nc, ml * nc)
+
+
+def phbath(T, cats, debye, nw, dt, nmd, ml=None, mcof=2.0,
+           sig=None, gamma=None, gwl=None,
+           K00=None, K01=None, V01=None, eta_ad=0.0,
+           classical: bool = False, zpmotion: bool = True,
+           dtype=jnp.float32, nwse: int = 400) -> PhBath:
+    """Build a phonon bath, mirroring ``phbath.__init__`` (baths.py:294-340).
+
+    Modes (checked in the reference's order):
+      * K00/K01/V01 lead blocks: computes Sigma(w) on a ``nwse``-point grid
+        via the decimation surface Green's function — implemented here
+        (the reference exits, baths.py:316-320);
+      * sig + gwl: Gamma(w) = -Im Sigma(w)/w (``ggamma``, baths.py:375-395);
+      * gamma + gwl: used directly;
+      * otherwise Debye model Gamma = (w_D pi/6) I, local (baths.py:333-339).
+
+    The returned bath already carries its time-domain kernel (``gmem``).
+    """
+    cids = jnp.asarray(np.asarray(cats, dtype=np.int32))
+    nc = int(cids.shape[0])
+    wmax = float(mcof * debye)
+    local = False
+
+    if K00 is not None and K01 is not None and V01 is not None:
+        from sclmd_tpu.selfenergy import lead_selfenergy_from_blocks
+        gwl_arr = np.linspace(0.0, wmax, nwse)
+        sig = lead_selfenergy_from_blocks(
+            jnp.asarray(K00, dtype), jnp.asarray(K01, dtype),
+            jnp.asarray(V01, dtype), jnp.asarray(gwl_arr, dtype))
+        gwl = gwl_arr
+
+    if sig is not None and gwl is not None:
+        sig = jnp.asarray(sig)
+        if sig.shape[-1] != nc:
+            raise ValueError("phbath: inconsistent cids and sig")
+        gwl = jnp.asarray(gwl, dtype)
+        # Gamma(w) = -Im Sigma(w) / w, with w=0 rows taken from the next
+        # grid point (ggamma, baths.py:385-392)
+        wsafe = jnp.where(gwl == 0.0, 1.0, gwl)
+        g = -jnp.imag(sig) / wsafe[:, None, None]
+        zero_rows = gwl == 0.0
+        g_next = jnp.roll(-jnp.imag(sig), -1, axis=0) / \
+            jnp.roll(wsafe, -1)[:, None, None]
+        gamma = jnp.where(zero_rows[:, None, None], g_next, g).astype(dtype)
+    elif gamma is not None and gwl is not None:
+        gamma = jnp.asarray(gamma, dtype)
+        if gamma.shape[-1] != nc:
+            raise ValueError("phbath: inconsistent cids and gamma")
+        gwl = jnp.asarray(gwl, dtype)
+    else:
+        # Debye model (Adelman & Doll JCP 64, 2375 (1976)): gamma = w_D pi/6
+        phfric = debye * np.pi / 6.0
+        gamma = jnp.asarray(phfric * np.eye(nc), dtype)[None]
+        gwl = jnp.zeros((1,), dtype)
+        local = True
+        ml = 1
+
+    if ml is None:
+        raise ValueError("phbath: memory length ml must be set for "
+                         "non-local baths")
+    bath = PhBath(
+        cids=cids, T=_as_f(T, dtype), gamma=gamma, gwl=gwl,
+        kernel=None, kernel_im=None, noise=None,
+        dt=float(dt), nmd=int(nmd), ml=int(ml), nw=int(nw),
+        wmax=wmax, local=bool(local), eta_ad=float(eta_ad),
+        classical=bool(classical), zpmotion=bool(zpmotion),
+    )
+    return bath.gmem()
+
+
+# ---------------------------------------------------------------------------
+# Generic force application (full-DOF scatter)
+# ---------------------------------------------------------------------------
+def bforce(bath, it, phis, qhis, nph: int) -> jax.Array:
+    """Full-DOF bath force: gather history on cids, apply local rule,
+    scatter back (the reference's ``mf`` padding, noise.py:15-22).
+    """
+    phis_c = phis[:, bath.cids]
+    qhis_c = qhis[:, bath.cids]
+    if isinstance(bath, PhBath) and bath.ml > 1:
+        phis_c = phis_c[: bath.ml]
+    f_local = bath.local_force(it, phis_c[:1] if bath.ml == 1 else phis_c,
+                               qhis_c[:1])
+    return jnp.zeros((nph,), f_local.dtype).at[bath.cids].set(f_local)

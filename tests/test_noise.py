@@ -1,0 +1,144 @@
+"""Tests for the batched colored-noise synthesis (sclmd_tpu.ops.noise).
+
+Checks PSD construction against scalar NumPy oracles of noise.py:169-186,
+and statistical properties (variance sum rule, stationarity of the
+autocorrelation against the target spectrum).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sclmd_tpu import units as U
+from sclmd_tpu.ops import noise as N
+from tests.test_functions import bose_ref, equ_ref
+
+
+def electron_psd_ref(w, efric, exim, exip, bias, T, ecut, delta):
+    """Scalar oracle of noise.py:171-186 for one frequency."""
+    aw = delta * equ_ref(w, ecut, T)
+    awm = delta * equ_ref(w - bias, ecut, T)
+    awp = delta * equ_ref(w + bias, ecut, T)
+    amate = aw * efric
+    amatm = -0.5 * aw * exip + 0.5 * awm * (exip + 1j * exim)
+    amatp = -0.5 * aw * exip + 0.5 * awp * (exip - 1j * exim)
+    amat = amate + amatm + amatp
+    return 0.5 * (amat + amat.conj().T)
+
+
+class TestPSD:
+    def test_electron_psd_matches_oracle(self, rng):
+        nc = 4
+        efric = rng.normal(size=(nc, nc))
+        efric = (efric + efric.T) / 2
+        exip = rng.normal(size=(nc, nc))
+        exip = (exip + exip.T) / 2
+        exim = rng.normal(size=(nc, nc))
+        exim = (exim - exim.T) / 2
+        bias, T, ecut, delta = 0.3, 250.0, 1.0, 17.0
+        wl = np.array([0.0, 0.05, 0.2, 0.5, 0.99, 1.5])
+        got = np.asarray(N.electron_psd(wl, efric, exim, exip, bias, T, ecut,
+                                        delta=delta))
+        for i, w in enumerate(wl):
+            want = electron_psd_ref(w, efric, exim, exip, bias, T, ecut, delta)
+            np.testing.assert_allclose(got[i], want, atol=1e-12,
+                                       err_msg=f"w={w}")
+
+    def test_phonon_psd_wideband(self):
+        # Debye/wideband: single grid point, gamma constant
+        gamma = np.array([np.eye(2) * 0.25])
+        gwl = np.array([0.0])
+        T, cut, delta = 300.0, 0.8, 5.0
+        wl = np.array([0.0, 0.1, 0.5, 0.9])
+        got = np.asarray(N.phonon_psd(wl, gamma, gwl, T, cut, delta=delta))
+        for i, w in enumerate(wl):
+            want = delta * equ_ref(w, cut, T) * gamma[0]
+            np.testing.assert_allclose(got[i], want, atol=1e-12)
+
+    def test_psd_hermitian_positive(self, rng):
+        nc = 3
+        efric = np.eye(nc) * 0.1
+        wl = np.linspace(0.0, 1.0, 9)
+        psd = np.asarray(N.electron_psd(wl, efric, np.zeros((nc, nc)),
+                                        np.zeros((nc, nc)), 0.0, 300.0, 2.0,
+                                        delta=1.0))
+        np.testing.assert_allclose(psd, np.conj(np.swapaxes(psd, 1, 2)),
+                                   atol=1e-14)
+        evs = np.linalg.eigvalsh(psd)
+        assert (evs > -1e-12).all()
+
+
+class TestSynthesis:
+    def test_shapes_and_realness(self, key):
+        nc, nmd, dt = 3, 128, 0.5
+        efric = jnp.eye(nc) * 0.2
+        z = jnp.zeros((nc, nc))
+        out = N.enoise(key, efric, z, z, 0.0, 300.0, 1.0, dt, nmd)
+        assert out.shape == (nmd, nc)
+        assert out.dtype in (jnp.float32, jnp.float64)
+
+    def test_mirror_layout(self):
+        nmd = 8
+        xi = (np.arange(5) + 1.0)[:, None] * (1 + 1j)  # (hlen+1, 1)
+        full = np.asarray(N.mirror_halfspectrum(jnp.asarray(xi), nmd))
+        # rows: xi0..xi3, conj(xi4), conj(xi3), conj(xi2), conj(xi1)
+        np.testing.assert_allclose(full[:4], xi[:4])
+        np.testing.assert_allclose(full[4:], np.conj(xi[[4, 3, 2, 1]]))
+
+    def test_variance_sum_rule_classical(self, key):
+        """Sample variance matches (1/2pi) * integral of S(w) dw (both signs)."""
+        nc, nmd, dt = 2, 4096, 0.25
+        gam = 0.3
+        T, cut = 400.0, 2.0
+        gamma = jnp.array([jnp.eye(nc) * gam])
+        gwl = jnp.array([0.0])
+        keys = jax.random.split(key, 16)
+        series = jax.vmap(
+            lambda k: N.phnoise(k, gamma, gwl, T, cut, dt, nmd,
+                                classical=True)
+        )(keys)
+        var = float(jnp.var(series))
+        # S(w) = 2 gam kB T for |w| < cut; grid Nyquist = pi/dt = 12.57 > cut
+        expect = 2 * gam * U.KB * T * (2 * cut) / (2 * np.pi)
+        assert abs(var - expect) / expect < 0.05
+
+    def test_quantum_vs_classical_zero_point(self, key):
+        """With zpmotion, T=0 noise retains zero-point power; classical doesn't."""
+        nc, nmd, dt = 1, 2048, 0.25
+        gamma = jnp.array([jnp.eye(nc) * 0.2])
+        gwl = jnp.array([0.0])
+        sq = N.phnoise(key, gamma, gwl, 0.0, 1.0, dt, nmd,
+                       classical=False, zpmotion=True)
+        scl = N.phnoise(key, gamma, gwl, 0.0, 1.0, dt, nmd,
+                        classical=True)
+        assert float(jnp.var(sq)) > 10 * float(jnp.var(scl) + 1e-30)
+
+    def test_autocorrelation_matches_target_spectrum(self, key):
+        """Time-averaged autocorrelation ~ iFFT of the target PSD."""
+        nc, nmd, dt = 1, 4096, 0.5
+        gam, T, cut = 0.4, 300.0, 1.5
+        gamma = jnp.array([jnp.eye(nc) * gam])
+        gwl = jnp.array([0.0])
+        nreal = 64
+        keys = jax.random.split(key, nreal)
+        series = np.asarray(jax.vmap(
+            lambda k: N.phnoise(k, gamma, gwl, T, cut, dt, nmd)
+        )(keys))[:, :, 0]
+        # empirical circular autocorrelation averaged over realizations
+        fw = np.fft.fft(series, axis=1)
+        emp = np.real(np.fft.ifft(np.abs(fw) ** 2, axis=1)).mean(axis=0) / nmd
+        # target: C(tau) = (1/2pi) int S(w) e^{-iw tau} dw over full grid
+        wl = np.asarray(N.halfspectrum_freqs(dt, nmd, dtype=jnp.float64))
+        s_half = np.array([equ_ref(w, cut, T) * gam for w in wl])
+        s_full = np.concatenate([s_half[:-1], s_half[1:][::-1]])
+        target = np.real(np.fft.fft(s_full)) / (nmd * dt)
+        # compare the first few lags
+        np.testing.assert_allclose(emp[:8], target[:8],
+                                   rtol=0.1, atol=0.02 * abs(target[0]))
+
+    def test_mf_scatter(self):
+        f = jnp.array([1.0, 2.0])
+        out = np.asarray(N.mf(f, jnp.array([3, 1]), 5))
+        np.testing.assert_allclose(out, [0, 2, 0, 1, 0])
