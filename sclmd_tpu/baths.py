@@ -74,6 +74,10 @@ class EBath:
     # static: skip the wind/Berry/renormalisation matvecs when the
     # matrices were never supplied
     bias_terms: bool = struct.field(pytree_node=False, default=False)
+    # precomputed noise factors (host-side f64 eigh of the PSD batch);
+    # sampling then stays eigh-free on device
+    nevecs: Optional[jax.Array] = None
+    nstd: Optional[jax.Array] = None
 
     # --- reference-compatible attributes ---
     @property
@@ -95,11 +99,51 @@ class EBath:
         return np.array([self.wmax * i / self.nw for i in range(self.nw)])
 
     # --- functional API ---
+    def prepare_noise(self) -> "EBath":
+        """Factorise the noise PSD once, fully on the host in float64
+        (numpy) — complex arrays cannot transit some TPU tunnels, and
+        an eigh in the device graph is both slow to compile and
+        inaccurate in complex64."""
+        dtype = self.efric.dtype
+        hlen = self.nmd // 2
+        dw = 2.0 * np.pi / self.dt / self.nmd
+        wl = dw * np.arange(hlen + 1)
+        psd = NZ.electron_psd(
+            wl, np.asarray(self.efric, np.float64),
+            np.asarray(self.exim, np.float64),
+            np.asarray(self.exip, np.float64),
+            float(self.bias), float(self.T), self.wmax,
+            self.classical, self.zpmotion,
+            delta=self.dt * self.nmd, xp=np)
+        evec, std = NZ.noise_factors(psd, dtype=dtype)
+        # keep factors as HOST numpy leaves: device-resident complex
+        # buffers break transfers on some TPU tunnels
+        return self.replace(nevecs=evec, nstd=std)
+
+    def gnoi_np(self, seed: int, dtype=None) -> "EBath":
+        """Host-side noise synthesis (numpy RNG + FFT) from the
+        precomputed factors; returns the bath with a host numpy noise
+        array. Robust on TPU tunnels that cannot round-trip device
+        buffers between compiled programs."""
+        rng = np.random.default_rng(seed)
+        xi = NZ.sample_noise_np(rng, self.nevecs, self.nstd,
+                                self.dt, self.nmd)
+        dt_ = dtype or np.float32
+        return self.replace(noise=xi.astype(dt_))
+
     def gnoi(self, key: jax.Array) -> "EBath":
-        """Attach a freshly synthesised noise series (baths.py:176-192)."""
-        xi = NZ.enoise(key, self.efric, self.exim, self.exip, self.bias,
-                       self.T, self.wmax, self.dt, self.nmd,
-                       self.classical, self.zpmotion)
+        """Attach a freshly synthesised noise series (baths.py:176-192).
+
+        Uses the precomputed factors when available (eigh-free on
+        device, vmappable over keys); otherwise the all-jnp path.
+        """
+        if self.nstd is not None:
+            xi = NZ.sample_noise(key, self.nevecs, self.nstd,
+                                 self.dt, self.nmd)
+        else:
+            xi = NZ.enoise(key, self.efric, self.exim, self.exip,
+                           self.bias, self.T, self.wmax, self.dt, self.nmd,
+                           self.classical, self.zpmotion)
         return self.replace(noise=xi)
 
     def GetSig(self):
@@ -109,14 +153,16 @@ class EBath:
                + self.bias * self.zeta1 - self.bias * self.exim)
         return sig
 
-    def local_force(self, it, phis_c, qhis_c):
+    def local_force(self, noise_row, phis_c, qhis_c):
         """Bath force on the bath's own DOFs.
 
+        ``noise_row`` is this step's colored-noise vector (nc,), fed by
+        the scan's xs stream (never a dynamic slice — pathological to
+        compile on some TPU backends and slower everywhere).
         ``phis_c``/``qhis_c`` are the history rings already gathered onto
         ``cids``: shape (ml, nc). Implements baths.py:224-255.
         """
-        f = jax.lax.dynamic_index_in_dim(
-            self.noise, jnp.mod(it, self.nmd), axis=0, keepdims=False)
+        f = noise_row
         v = phis_c[0]
         f = f - self.efric @ v
         if self.bias_terms:
@@ -129,7 +175,7 @@ class EBath:
 def ebath(cats, T, dt, nmd, wmax=None, nw=None, bias=0.0,
           efric=None, exim=None, exip=None, zeta1=None, zeta2=None,
           classical: bool = False, zpmotion: bool = True,
-          dtype=jnp.float32) -> EBath:
+          dtype=jnp.float32, factorize: bool = True) -> EBath:
     """Build an electron bath, mirroring ``ebath.__init__``/``CheckEmat``
     (baths.py:76-174): efric/exip/zeta1 are symmetrised, exim/zeta2
     antisymmetrised, shapes validated against ``cats``.
@@ -143,24 +189,46 @@ def ebath(cats, T, dt, nmd, wmax=None, nw=None, bias=0.0,
     if n != nc:
         raise ValueError(f"ebath: efric shape {n} != len(cats) {nc}")
 
+    # all setup in host numpy (some TPU tunnels cannot run eager device
+    # ops or transfer their results back)
     def _sym(m):
-        return symmetrize(_as_f(m, dtype))
+        m = np.asarray(m, np.float64)
+        return 0.5 * (m + m.T)
 
     def _asym(m):
-        return antisymmetrize(_as_f(m, dtype))
+        m = np.asarray(m, np.float64)
+        return 0.5 * (m - m.T)
 
-    z = jnp.zeros((nc, nc), dtype)
+    z = np.zeros((nc, nc))
     for name, m in (("exim", exim), ("exip", exip),
                     ("zeta1", zeta1), ("zeta2", zeta2)):
         if m is not None and chkShape(m) != nc:
             raise ValueError(f"ebath: {name} has wrong dimension")
+    efric_np = _sym(efric)
+    exim_np = _asym(exim) if exim is not None else z
+    exip_np = _sym(exip) if exip is not None else z
+    zeta1_np = _sym(zeta1) if zeta1 is not None else z
+    zeta2_np = _asym(zeta2) if zeta2 is not None else z
+
+    nevecs = nstd = None
+    if factorize:
+        hlen = int(nmd) // 2
+        dw = 2.0 * np.pi / dt / nmd
+        wlh = dw * np.arange(hlen + 1)
+        psd = NZ.electron_psd(wlh, efric_np, exim_np, exip_np,
+                              float(bias), float(T), wmax,
+                              classical, zpmotion,
+                              delta=float(dt) * int(nmd), xp=np)
+        evec, std = NZ.noise_factors(psd, dtype=dtype)
+        nevecs, nstd = evec, std   # host numpy leaves by design
+
     return EBath(
         cids=cids,
-        efric=_sym(efric),
-        exim=_asym(exim) if exim is not None else z,
-        exip=_sym(exip) if exip is not None else z,
-        zeta1=_sym(zeta1) if zeta1 is not None else z,
-        zeta2=_asym(zeta2) if zeta2 is not None else z,
+        efric=_as_f(efric_np, dtype),
+        exim=_as_f(exim_np, dtype),
+        exip=_as_f(exip_np, dtype),
+        zeta1=_as_f(zeta1_np, dtype),
+        zeta2=_as_f(zeta2_np, dtype),
         T=_as_f(T, dtype),
         bias=_as_f(bias, dtype),
         noise=None,
@@ -170,13 +238,14 @@ def ebath(cats, T, dt, nmd, wmax=None, nw=None, bias=0.0,
         classical=bool(classical), zpmotion=bool(zpmotion),
         bias_terms=(exim is not None or zeta1 is not None
                     or zeta2 is not None),
+        nevecs=nevecs, nstd=nstd,
     )
 
 
 # ---------------------------------------------------------------------------
 # Phonon bath
 # ---------------------------------------------------------------------------
-def gamt(tl, wl, gwl, gam, eta_ad: float = 0.0) -> jax.Array:
+def gamt(tl, wl, gwl, gam, eta_ad: float = 0.0, xp=jnp) -> jax.Array:
     """Friction kernel K(t) from Gamma(w) by direct cosine sum.
 
     Mirrors baths.py:19-52: K(t) = (2/pi) * wmax * mean_w[Gamma(w) cos(wt)]
@@ -185,23 +254,25 @@ def gamt(tl, wl, gwl, gam, eta_ad: float = 0.0) -> jax.Array:
     w/(w -+ i eta) weights. Batched matrix form: the (nt, nw) cosine matrix
     contracts with the (nw, nc*nc) Gamma table on the MXU.
     """
-    tl = jnp.asarray(tl)
-    wl = jnp.asarray(wl)
-    gam = jnp.asarray(gam)
-    gw = flinterp(wl, jnp.asarray(gwl), gam)          # (nw, nc, nc)
+    from sclmd_tpu.ops.functions import flinterp_np
+    tl = xp.asarray(tl)
+    wl = xp.asarray(wl)
+    gam = xp.asarray(gam)
+    interp = flinterp if xp is jnp else flinterp_np
+    gw = interp(wl, xp.asarray(gwl), gam)             # (nw, nc, nc)
     nw, nc = gw.shape[0], gw.shape[-1]
     gflat = gw.reshape(nw, nc * nc)
     if eta_ad == 0.0:
-        cosm = jnp.cos(wl[None, :] * tl[:, None])      # (nt, nw)
-        kt = 2.0 * (cosm @ gflat) / nw * wl[-1] / jnp.pi
-        return jnp.real(kt).reshape(tl.shape[0], nc, nc)
-    wc = wl.astype(jnp.result_type(wl.dtype, jnp.complex64))
+        cosm = xp.cos(wl[None, :] * tl[:, None])       # (nt, nw)
+        kt = 2.0 * (cosm @ gflat) / nw * wl[-1] / np.pi
+        return xp.real(kt).reshape(tl.shape[0], nc, nc)
+    wc = wl.astype(xp.result_type(wl.dtype, xp.complex64))
     phase_m = (wc / (wc - 1j * eta_ad))[None, :] * \
-        jnp.exp(-1j * wc[None, :] * tl[:, None] - eta_ad * tl[:, None])
+        xp.exp(-1j * wc[None, :] * tl[:, None] - eta_ad * tl[:, None])
     phase_p = (wc / (wc + 1j * eta_ad))[None, :] * \
-        jnp.exp(+1j * wc[None, :] * tl[:, None] - eta_ad * tl[:, None])
-    kt = ((phase_m + phase_p) @ gflat.astype(phase_m.dtype)) / nw * wl[-1] / jnp.pi
-    return jnp.real(kt).reshape(tl.shape[0], nc, nc)
+        xp.exp(+1j * wc[None, :] * tl[:, None] - eta_ad * tl[:, None])
+    kt = ((phase_m + phase_p) @ gflat.astype(phase_m.dtype)) / nw * wl[-1] / np.pi
+    return xp.real(kt).reshape(tl.shape[0], nc, nc)
 
 
 @struct.dataclass
@@ -224,6 +295,8 @@ class PhBath:
     eta_ad: float = struct.field(pytree_node=False, default=0.0)
     classical: bool = struct.field(pytree_node=False, default=False)
     zpmotion: bool = struct.field(pytree_node=False, default=True)
+    nevecs: Optional[jax.Array] = None
+    nstd: Optional[jax.Array] = None
 
     @property
     def nc(self) -> int:
@@ -254,16 +327,43 @@ class PhBath:
         return self.replace(kernel=kern, kernel_im=_kernel_im(kern),
                             gamma=new_gamma)
 
+    def prepare_noise(self) -> "PhBath":
+        """Factorise the noise PSD once, fully on the host in float64
+        (see EBath.prepare_noise)."""
+        dtype = self.gamma.dtype
+        hlen = self.nmd // 2
+        dw = 2.0 * np.pi / self.dt / self.nmd
+        wl = dw * np.arange(hlen + 1)
+        psd = NZ.phonon_psd(
+            wl, np.asarray(self.gamma, np.float64),
+            np.asarray(self.gwl, np.float64), float(self.T), self.wmax,
+            self.classical, self.zpmotion,
+            delta=self.dt * self.nmd, xp=np)
+        evec, std = NZ.noise_factors(psd, dtype=dtype)
+        return self.replace(nevecs=evec, nstd=std)
+
+    def gnoi_np(self, seed: int, dtype=None) -> "PhBath":
+        """Host-side noise synthesis; see EBath.gnoi_np."""
+        rng = np.random.default_rng(seed)
+        xi = NZ.sample_noise_np(rng, self.nevecs, self.nstd,
+                                self.dt, self.nmd)
+        dt_ = dtype or np.float32
+        return self.replace(noise=xi.astype(dt_))
+
     def gnoi(self, key: jax.Array) -> "PhBath":
         """Attach phonon colored noise (baths.py:397-410)."""
-        xi = NZ.phnoise(key, self.gamma, self.gwl, self.T, self.wmax,
-                        self.dt, self.nmd, self.classical, self.zpmotion)
+        if self.nstd is not None:
+            xi = NZ.sample_noise(key, self.nevecs, self.nstd,
+                                 self.dt, self.nmd)
+        else:
+            xi = NZ.phnoise(key, self.gamma, self.gwl, self.T, self.wmax,
+                            self.dt, self.nmd, self.classical,
+                            self.zpmotion)
         return self.replace(noise=xi)
 
-    def local_force(self, it, phis_c, qhis_c):
+    def local_force(self, noise_row, phis_c, qhis_c):
         """Memory-kernel friction force on the bath DOFs (baths.py:448-458)."""
-        f = jax.lax.dynamic_index_in_dim(
-            self.noise, jnp.mod(it, self.nmd), axis=0, keepdims=False)
+        f = noise_row
         if self.ml == 1:
             return f - self.kernel[0] @ phis_c[0]
         vflat = phis_c.reshape(self.ml * self.nc)
@@ -282,7 +382,8 @@ def phbath(T, cats, debye, nw, dt, nmd, ml=None, mcof=2.0,
            sig=None, gamma=None, gwl=None,
            K00=None, K01=None, V01=None, eta_ad=0.0,
            classical: bool = False, zpmotion: bool = True,
-           dtype=jnp.float32, nwse: int = 400) -> PhBath:
+           dtype=jnp.float32, nwse: int = 400,
+           factorize: bool = True) -> PhBath:
     """Build a phonon bath, mirroring ``phbath.__init__`` (baths.py:294-340).
 
     Modes (checked in the reference's order):
@@ -301,63 +402,98 @@ def phbath(T, cats, debye, nw, dt, nmd, ml=None, mcof=2.0,
     local = False
 
     if K00 is not None and K01 is not None and V01 is not None:
-        from sclmd_tpu.selfenergy import lead_selfenergy_from_blocks
-        gwl_arr = np.linspace(0.0, wmax, nwse)
-        sig = lead_selfenergy_from_blocks(
-            jnp.asarray(K00, dtype), jnp.asarray(K01, dtype),
-            jnp.asarray(V01, dtype), jnp.asarray(gwl_arr, dtype))
-        gwl = gwl_arr
+        from sclmd_tpu.selfenergy import lead_selfenergy_from_blocks_np
+        gwl = np.linspace(0.0, wmax, nwse)
+        sig = lead_selfenergy_from_blocks_np(
+            np.asarray(K00, np.float64), np.asarray(K01, np.float64),
+            np.asarray(V01, np.float64), gwl)
 
+    # all setup on the host in numpy (see ebath)
     if sig is not None and gwl is not None:
-        sig = jnp.asarray(sig)
+        sig = np.asarray(sig)
         if sig.shape[-1] != nc:
             raise ValueError("phbath: inconsistent cids and sig")
-        gwl = jnp.asarray(gwl, dtype)
+        gwl_np = np.asarray(gwl, np.float64)
         # Gamma(w) = -Im Sigma(w) / w, with w=0 rows taken from the next
         # grid point (ggamma, baths.py:385-392)
-        wsafe = jnp.where(gwl == 0.0, 1.0, gwl)
-        g = -jnp.imag(sig) / wsafe[:, None, None]
-        zero_rows = gwl == 0.0
-        g_next = jnp.roll(-jnp.imag(sig), -1, axis=0) / \
-            jnp.roll(wsafe, -1)[:, None, None]
-        gamma = jnp.where(zero_rows[:, None, None], g_next, g).astype(dtype)
+        wsafe = np.where(gwl_np == 0.0, 1.0, gwl_np)
+        g = -np.imag(sig) / wsafe[:, None, None]
+        zero_rows = gwl_np == 0.0
+        g_next = np.roll(-np.imag(sig), -1, axis=0) / \
+            np.roll(wsafe, -1)[:, None, None]
+        gamma_np = np.where(zero_rows[:, None, None], g_next, g)
     elif gamma is not None and gwl is not None:
-        gamma = jnp.asarray(gamma, dtype)
-        if gamma.shape[-1] != nc:
+        gamma_np = np.asarray(gamma, np.float64)
+        if gamma_np.shape[-1] != nc:
             raise ValueError("phbath: inconsistent cids and gamma")
-        gwl = jnp.asarray(gwl, dtype)
+        gwl_np = np.asarray(gwl, np.float64)
     else:
         # Debye model (Adelman & Doll JCP 64, 2375 (1976)): gamma = w_D pi/6
         phfric = debye * np.pi / 6.0
-        gamma = jnp.asarray(phfric * np.eye(nc), dtype)[None]
-        gwl = jnp.zeros((1,), dtype)
+        gamma_np = (phfric * np.eye(nc))[None]
+        gwl_np = np.zeros((1,))
         local = True
         ml = 1
 
     if ml is None:
         raise ValueError("phbath: memory length ml must be set for "
                          "non-local baths")
-    bath = PhBath(
-        cids=cids, T=_as_f(T, dtype), gamma=gamma, gwl=gwl,
-        kernel=None, kernel_im=None, noise=None,
+
+    # time-domain kernel (gmem, baths.py:412-446) on the host
+    if local:
+        kern_np = gamma_np[:1]
+    else:
+        tl = float(dt) * np.arange(int(ml))
+        wl_bath = np.array([wmax * i / int(nw) for i in range(int(nw))])
+        kern_np = gamt(tl, wl_bath, gwl_np, gamma_np, float(eta_ad), xp=np)
+        if eta_ad != 0.0:
+            # refresh Gamma(w) from the damped kernel (baths.py:437-445)
+            cosm = np.cos(gwl_np[:, None] * tl[None, :])
+            gamma_np = (float(dt) * cosm @
+                        kern_np.reshape(int(ml), nc * nc)
+                        ).reshape(len(gwl_np), nc, nc)
+
+    nevecs = nstd = None
+    if factorize:
+        hlen = int(nmd) // 2
+        dw = 2.0 * np.pi / dt / nmd
+        wlh = dw * np.arange(hlen + 1)
+        psd = NZ.phonon_psd(wlh, gamma_np, gwl_np, float(T), wmax,
+                            classical, zpmotion,
+                            delta=float(dt) * int(nmd), xp=np)
+        evec, std = NZ.noise_factors(psd, dtype=dtype)
+        nevecs, nstd = evec, std   # host numpy leaves by design
+
+    kern = jnp.asarray(kern_np, dtype)
+    return PhBath(
+        cids=cids, T=_as_f(T, dtype), gamma=_as_f(gamma_np, dtype),
+        gwl=_as_f(gwl_np, dtype),
+        kernel=kern, kernel_im=jnp.asarray(
+            np.transpose(kern_np, (1, 0, 2)).reshape(nc, int(ml) * nc),
+            dtype),
+        noise=None,
         dt=float(dt), nmd=int(nmd), ml=int(ml), nw=int(nw),
         wmax=wmax, local=bool(local), eta_ad=float(eta_ad),
         classical=bool(classical), zpmotion=bool(zpmotion),
+        nevecs=nevecs, nstd=nstd,
     )
-    return bath.gmem()
 
 
 # ---------------------------------------------------------------------------
 # Generic force application (full-DOF scatter)
 # ---------------------------------------------------------------------------
-def bforce(bath, it, phis, qhis, nph: int) -> jax.Array:
+def bforce(bath, noise_row, phis, qhis, nph: int) -> jax.Array:
     """Full-DOF bath force: gather history on cids, apply local rule,
     scatter back (the reference's ``mf`` padding, noise.py:15-22).
+
+    ``noise_row`` is the step's noise vector (nc,), streamed from the
+    scan xs (see md.run_segment).
     """
     phis_c = phis[:, bath.cids]
     qhis_c = qhis[:, bath.cids]
     if isinstance(bath, PhBath) and bath.ml > 1:
         phis_c = phis_c[: bath.ml]
-    f_local = bath.local_force(it, phis_c[:1] if bath.ml == 1 else phis_c,
+    f_local = bath.local_force(noise_row,
+                               phis_c[:1] if bath.ml == 1 else phis_c,
                                qhis_c[:1])
     return jnp.zeros((nph,), f_local.dtype).at[bath.cids].set(f_local)

@@ -1,0 +1,151 @@
+"""JAX force-driver protocol: the TPU replacement for external engines.
+
+The reference drives forces through external native engines — LAMMPS
+in-process C++ (lammpsdriver.py), Siesta over a socket (siestadriver.py),
+DeepMD-kit TF (deepmddriver.py) — all sharing a duck-typed contract:
+``.axyz``, ``.conv``, ``.f0``, ``.force(q)``, ``.initforce()``,
+``.dynmat()``, ``.energy()`` (SURVEY.md L1). Here the same contract is
+met by any differentiable JAX energy function, so the force (and even
+the dynamical matrix, via ``jax.hessian``) stays on-device inside the
+jitted MD step — replacing the 33 ms/call host round-trip that dominates
+the reference profile (BASELINE.md) and the 146 s LAMMPS
+``dynamical_matrix`` call (negf.py:63).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sclmd_tpu import units as U
+
+
+class JaxDriver:
+    """Force driver built from a differentiable energy function.
+
+    Parameters
+    ----------
+    energy_fn : positions (na, 3) angstrom -> total energy in eV.
+        Must be jit/grad-able.
+    axyz : list of [element, x, y, z] rows — the relaxed structure.
+    md2ang : mass-weighted-coordinate scale (units.MD2ANG).
+
+    The driver works in the reference's mass-weighted displacement
+    coordinates: cartesian x = xyz + conv * q with
+    conv_i = md2ang / sqrt(m_atom(i)) (lammpsdriver.py:55-56), and
+    returns conv-scaled relative forces F(q) = conv*(f(x) - f0)
+    (lammpsdriver.py:74-84).
+    """
+
+    def __init__(self, energy_fn: Callable, axyz, md2ang=U.MD2ANG,
+                 dtype=jnp.float32):
+        self.energy_fn = energy_fn
+        self.md2ang = md2ang
+        self.dtype = dtype
+        self.els = [a[0] for a in axyz]
+        self.axyz = axyz
+        self.number = len(axyz)
+        self.xyz = np.array([a[1:] for a in axyz], dtype=float).flatten()
+        mass = np.array([U.AtomicMassTable[e] for e in self.els])
+        self.conv = self.md2ang * np.repeat(1.0 / np.sqrt(mass), 3)
+
+        xyz_j = jnp.asarray(self.xyz, dtype)
+        conv_j = jnp.asarray(self.conv, dtype)
+        na = self.number
+
+        def _abs_force(q):
+            x = (xyz_j + conv_j * q).reshape(na, 3)
+            f = -jax.grad(lambda xx: energy_fn(xx))(x).reshape(-1)
+            return conv_j * f
+
+        self._abs_force = jax.jit(_abs_force)
+        self._energy = jax.jit(
+            lambda q: energy_fn((xyz_j + conv_j * q).reshape(na, 3)))
+        self.initforce()
+
+    # --- reference driver protocol ---
+    def initforce(self):
+        self.f0 = self._abs_force(jnp.zeros(3 * self.number, self.dtype))
+
+    def newx(self, q):
+        return self.xyz + self.conv * np.asarray(q)
+
+    def absforce(self, q):
+        return self._abs_force(jnp.asarray(q, self.dtype))
+
+    def force(self, q):
+        return self._abs_force(jnp.asarray(q, self.dtype)) - self.f0
+
+    # jittable path used inside the MD scan
+    def force_jax(self, q):
+        return self._abs_force(q) - self.f0
+
+    def energy(self, q=None):
+        if q is None:
+            q = jnp.zeros(3 * self.number, self.dtype)
+        return float(self._energy(jnp.asarray(q, self.dtype)))
+
+    def dynmat(self, q=None, dtype=jnp.float64):
+        """Dynamical matrix in eV^2 via jax.hessian in q-space.
+
+        Replaces LAMMPS ``dynamical_matrix all eskm`` + the rpc^2
+        conversion (lammpsdriver.py:89-102). D = conv conv^T (*)
+        d^2 E / dx^2 evaluated at the (displaced) structure.
+        """
+        if q is None:
+            q = jnp.zeros(3 * self.number, dtype)
+        xyz_j = jnp.asarray(self.xyz, dtype)
+        conv_j = jnp.asarray(self.conv, dtype)
+        na = self.number
+
+        def e_of_q(qq):
+            return self.energy_fn((xyz_j + conv_j * qq).reshape(na, 3))
+
+        h = jax.hessian(e_of_q)(jnp.asarray(q, dtype))
+        return 0.5 * (h + h.T)
+
+    def quit(self):
+        pass
+
+
+class HostDriver:
+    """Adapter exposing a host-side force engine (real LAMMPS, Siesta,
+    an external process, ...) inside the jitted step via
+    ``jax.pure_callback``. Off the benchmark path by design: one host
+    round-trip per evaluation, like the reference.
+
+    ``host`` must implement the reference protocol: .force(q) -> (nph,),
+    plus .conv / .f0 / .axyz passthrough.
+    """
+
+    def __init__(self, host, nph: int, dtype=jnp.float32):
+        self.host = host
+        self.nph = nph
+        self.dtype = dtype
+        for attr in ("conv", "f0", "axyz", "els", "xyz"):
+            if hasattr(host, attr):
+                setattr(self, attr, getattr(host, attr))
+
+    def force_jax(self, q):
+        shape = jax.ShapeDtypeStruct((self.nph,), self.dtype)
+        return jax.pure_callback(
+            lambda qq: np.asarray(self.host.force(np.asarray(qq)),
+                                  dtype=self.dtype),
+            shape, q, vmap_method="sequential")
+
+    def force(self, q):
+        return np.asarray(self.host.force(np.asarray(q)))
+
+    def dynmat(self, q=None):
+        return self.host.dynmat(q) if hasattr(self.host, "dynmat") else None
+
+    def energy(self, *a, **kw):
+        return self.host.energy(*a, **kw) \
+            if hasattr(self.host, "energy") else None
+
+    def quit(self):
+        if hasattr(self.host, "quit"):
+            self.host.quit()

@@ -78,24 +78,26 @@ def xcoth(x):
     return jnp.where(x == 0.0, 1.0, safe * jnp.cosh(safe) / jnp.sinh(safe))
 
 
-def bose(w, T):
+def bose(w, T, xp=jnp):
     """Bose-Einstein occupation with the reference's edge conventions.
 
     functions.py:80-99: at T=0 returns -1 for w<0 and 0 for w>=0; at T>0
     returns 0 at w=0 and 1/(e^{w/kT}-1) otherwise. Fully vectorised in both
-    ``w`` and ``T``.
+    ``w`` and ``T``. ``xp`` selects the array backend (jnp on device,
+    numpy for host-side setup — some TPU tunnels cannot run eager ops).
     """
-    w = jnp.asarray(w, dtype=jnp.result_type(float, w))
-    T = jnp.asarray(T, dtype=w.dtype)
+    w = xp.asarray(w, dtype=xp.result_type(float, w))
+    T = xp.asarray(T, dtype=w.dtype)
     t_zero = T == 0.0
     # T == 0 branch: -1 for w < 0, else 0
-    b0 = jnp.where(w < 0.0, -1.0, 0.0)
+    b0 = xp.where(w < 0.0, -1.0, 0.0)
     # T > 0 branch, guarded against division by zero
-    T_safe = jnp.where(t_zero, 1.0, T)
-    x = w / (U.KB * T_safe)
-    x_safe = jnp.where(w == 0.0, 1.0, x)
-    bT = jnp.where(w == 0.0, 0.0, 1.0 / jnp.expm1(x_safe))
-    return jnp.where(t_zero, b0, bT)
+    T_safe = xp.where(t_zero, 1.0, T)
+    with np.errstate(over="ignore"):
+        x = w / (U.KB * T_safe)
+        x_safe = xp.where(w == 0.0, 1.0, x)
+        bT = xp.where(w == 0.0, 0.0, 1.0 / xp.expm1(x_safe))
+    return xp.where(t_zero, b0, bT)
 
 
 def fermi(ep, mu, T):
@@ -110,40 +112,42 @@ def fermi(ep, mu, T):
     return jnp.where(t_zero, f0, fT)
 
 
-def equ_spectrum(w, cut, T, classical: bool = False, zpmotion: bool = True):
+def equ_spectrum(w, cut, T, classical: bool = False, zpmotion: bool = True,
+                 xp=jnp):
     """Equilibrium noise weight 2 hw (n_B(hw,T) + zp) with band cutoff.
 
     Mirrors noise.py:249-270 ``equ()``: returns 2 kT in the classical limit
     or at w=0, and 0 for hw >= cut (strict ``hw < cut`` window). ``w`` may
     be any shape; ``classical``/``zpmotion`` are static Python bools.
     """
-    w = jnp.asarray(w, dtype=jnp.result_type(float, w))
+    w = xp.asarray(w, dtype=xp.result_type(float, w))
     hw = U.HBAR * w
     inside = hw < cut
     if classical:
-        val = jnp.full_like(hw, 2.0 * U.KB) * T
+        val = xp.full_like(hw, 2.0 * U.KB) * T
     else:
         zp = 0.5 if zpmotion else 0.0
-        quantum = 2.0 * hw * (zp + bose(hw, T))
-        val = jnp.where(hw == 0.0, 2.0 * U.KB * T, quantum)
-    return jnp.where(inside, val, 0.0)
+        quantum = 2.0 * hw * (zp + bose(hw, T, xp=xp))
+        val = xp.where(hw == 0.0, 2.0 * U.KB * T, quantum)
+    return xp.where(inside, val, 0.0)
 
 
-def nonequ_spectrum(w, bias, T, sign: int, classical: bool = False):
+def nonequ_spectrum(w, bias, T, sign: int, classical: bool = False,
+                    xp=jnp):
     """Bias-shifted nonequilibrium weight 2(hw +/- V)(n(hw +/- V) - n(hw)).
 
     Mirrors noise.py:211-246 ``nonequm``/``nonequp``; ``sign`` is -1 for the
     minus branch and +1 for the plus branch.
     """
-    w = jnp.asarray(w, dtype=jnp.result_type(float, w))
+    w = xp.asarray(w, dtype=xp.result_type(float, w))
     hw1 = U.HBAR * w + sign * bias
     hw2 = U.HBAR * w
     if classical:
         small = 10e-20
-        hw1s = jnp.where(hw1 == 0.0, small, hw1)
-        hw2s = jnp.where(hw2 == 0.0, small, hw2)
+        hw1s = xp.where(hw1 == 0.0, small, hw1)
+        hw2s = xp.where(hw2 == 0.0, small, hw2)
         return 2.0 * hw1s * (U.KB * T / hw1s - U.KB * T / hw2s)
-    return 2.0 * hw1 * (bose(hw1, T) - bose(hw2, T))
+    return 2.0 * hw1 * (bose(hw1, T, xp=xp) - bose(hw2, T, xp=xp))
 
 
 # ---------------------------------------------------------------------------
@@ -222,10 +226,28 @@ def dagger(a):
     return jnp.conjugate(jnp.asarray(a)).T
 
 
-def hermitianize(a):
+def hermitianize(a, xp=jnp):
     """0.5 (A + A^dagger); batched over leading axes."""
-    a = jnp.asarray(a)
-    return 0.5 * (a + jnp.conjugate(jnp.swapaxes(a, -1, -2)))
+    a = xp.asarray(a)
+    return 0.5 * (a + xp.conjugate(xp.swapaxes(a, -1, -2)))
+
+
+def flinterp_np(x, xs, ys):
+    """NumPy twin of ``flinterp`` for host-side setup paths."""
+    xs = np.asarray(xs)
+    ys = np.asarray(ys)
+    x = np.atleast_1d(np.asarray(x, dtype=float))
+    n = xs.shape[0]
+    i = np.argmin(np.abs(xs[None, :] - x[:, None]), axis=1)
+    dd = x - xs[i]
+    j = np.clip(np.where(dd < 0, i - 1, i + 1), 0, n - 1)
+    denom = xs[i] - xs[j]
+    denom = np.where(denom == 0.0, 1.0, denom)
+    extra = (Ellipsis,) + (None,) * (ys.ndim - 1)
+    val = ys[i] + (dd / denom)[extra] * (ys[i] - ys[j])
+    edge = (i == 0) | (i == n - 1)
+    val[edge] = ys[i[edge]]
+    return val
 
 
 # ---------------------------------------------------------------------------

@@ -26,6 +26,7 @@ from sclmd_tpu import units as U
 from sclmd_tpu.ops.functions import (
     equ_spectrum,
     flinterp,
+    flinterp_np,
     fourier_w2t,
     hermitianize,
 )
@@ -40,7 +41,7 @@ def halfspectrum_freqs(dt: float, nmd: int, dtype=jnp.float32) -> jax.Array:
 
 def electron_psd(wl, efric, exim, exip, bias, T, ecut,
                  classical: bool = False, zpmotion: bool = True,
-                 delta: float = 1.0) -> jax.Array:
+                 delta: float = 1.0, xp=jnp) -> jax.Array:
     """Electron-bath noise PSD matrices on the grid ``wl``.
 
     S(w) = d * [ a(w) efric
@@ -50,39 +51,100 @@ def electron_psd(wl, efric, exim, exip, bias, T, ecut,
     bias-shifted parts -0.5 a exip + 0.5 a(w∓V) (exip ± i exim).
     Returns a complex Hermitian batch of shape wl.shape + (nc, nc).
     """
-    wl = jnp.asarray(wl)
-    efric = jnp.asarray(efric)
-    exip = jnp.asarray(exip)
-    exim = jnp.asarray(exim)
-    aw = delta * equ_spectrum(wl, ecut, T, classical, zpmotion)
-    awm = delta * equ_spectrum(U.HBAR * wl - bias, ecut, T, classical, zpmotion)
-    awp = delta * equ_spectrum(U.HBAR * wl + bias, ecut, T, classical, zpmotion)
+    wl = xp.asarray(wl)
+    efric = xp.asarray(efric)
+    exip = xp.asarray(exip)
+    exim = xp.asarray(exim)
+    aw = delta * equ_spectrum(wl, ecut, T, classical, zpmotion, xp=xp)
+    awm = delta * equ_spectrum(U.HBAR * wl - bias, ecut, T, classical,
+                               zpmotion, xp=xp)
+    awp = delta * equ_spectrum(U.HBAR * wl + bias, ecut, T, classical,
+                               zpmotion, xp=xp)
 
     aw_ = aw[..., None, None]
     awm_ = awm[..., None, None]
     awp_ = awp[..., None, None]
-    cplx = jnp.result_type(efric.dtype, jnp.complex64)
+    cplx = xp.result_type(efric.dtype, xp.complex64)
     amat = (aw_ * efric
             + (-aw_ + 0.5 * (awm_ + awp_)) * exip
             + 0.5j * (awm_ - awp_) * exim.astype(cplx))
-    return hermitianize(amat.astype(cplx))
+    return hermitianize(amat.astype(cplx), xp=xp)
 
 
 def phonon_psd(wl, gamma, gwl, T, phcut,
                classical: bool = False, zpmotion: bool = True,
-               delta: float = 1.0) -> jax.Array:
+               delta: float = 1.0, xp=jnp) -> jax.Array:
     """Phonon-bath noise PSD: d * equ(w) * Gamma(w) (noise.py:73-79).
 
     ``gamma`` is the friction kernel table (ngw, nc, nc) on grid ``gwl``;
     it is linearly interpolated onto ``wl`` with the reference's
     nearest-anchored scheme.
     """
-    wl = jnp.asarray(wl)
-    gamma = jnp.asarray(gamma)
-    aw = delta * equ_spectrum(wl, phcut, T, classical, zpmotion)
-    gw = flinterp(wl, jnp.asarray(gwl), gamma)  # (nw, nc, nc)
-    cplx = jnp.result_type(gamma.dtype, jnp.complex64)
-    return hermitianize((aw[..., None, None] * gw).astype(cplx))
+    wl = xp.asarray(wl)
+    gamma = xp.asarray(gamma)
+    aw = delta * equ_spectrum(wl, phcut, T, classical, zpmotion, xp=xp)
+    interp = flinterp if xp is jnp else flinterp_np
+    gw = interp(wl, xp.asarray(gwl), gamma)     # (nw, nc, nc)
+    cplx = xp.result_type(gamma.dtype, xp.complex64)
+    return hermitianize((aw[..., None, None] * gw).astype(cplx), xp=xp)
+
+
+def noise_factors(psd, dtype=None):
+    """Host-side factorisation of the PSD batch: (evecs, std).
+
+    The eigendecomposition runs ONCE in float64 on the host
+    (np.linalg.eigh), independent of trajectory count — per-trajectory
+    sampling then needs only a matmul + FFT on device. This keeps
+    ``eigh`` out of the TPU graph (pathologically slow to compile on
+    some backends, and inaccurate in complex64) without changing the
+    sampled statistics: std = sqrt(clip(eigenvalues, 0)) exactly as
+    ``vargau`` (noise.py:297-303).
+    """
+    psd_np = np.asarray(psd).astype(np.complex128)
+    ev, evec = np.linalg.eigh(psd_np)
+    std = np.sqrt(np.clip(ev, 0.0, None))
+    if dtype is not None:
+        cplx = np.complex128 if dtype in (jnp.float64, np.float64) \
+            else np.complex64
+        return evec.astype(cplx), std.astype(dtype)
+    return evec, std
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("dt", "nmd"))
+def sample_noise(key: jax.Array, evecs, std, dt: float,
+                 nmd: int) -> jax.Array:
+    """Real (nmd, nc) noise series from precomputed factors.
+
+    Jitted (dt/nmd static): on some TPU tunnels, buffers produced by
+    EAGER complex ops can neither transfer to host nor be embedded as
+    jit constants — keep the whole sampling pipeline inside one jit.
+    """
+    evecs = jnp.asarray(evecs)
+    std = jnp.asarray(std)
+    r = jax.random.normal(key, std.shape, dtype=std.dtype) * std
+    xi_pos = jnp.einsum("...ij,...j->...i", evecs, r.astype(evecs.dtype))
+    xi = mirror_halfspectrum(xi_pos, nmd)
+    return jnp.real(fourier_w2t(xi, dt, axis=0))
+
+
+def sample_noise_np(rng: np.random.Generator, evecs, std, dt: float,
+                    nmd: int) -> np.ndarray:
+    """Host NumPy twin of ``sample_noise`` (float64).
+
+    Same statistics; used where device buffers cannot round-trip (tunnel
+    backends) or for deterministic host-side reproduction.
+    """
+    evecs = np.asarray(evecs)
+    std = np.asarray(std, np.float64)
+    r = rng.standard_normal(std.shape) * std
+    xi_pos = np.einsum("wij,wj->wi", evecs.astype(np.complex128), r)
+    hlen = nmd // 2
+    neg = np.conjugate(xi_pos[1:hlen + 1][::-1])
+    xi = np.concatenate([xi_pos[:hlen], neg], axis=0)
+    return np.real(np.fft.fft(xi, axis=0) / (nmd * dt))
 
 
 def sample_from_psd(key: jax.Array, psd: jax.Array) -> jax.Array:

@@ -1,0 +1,115 @@
+"""Ensemble data-parallelism and multi-chip sharding.
+
+The reference runs independent trajectories sequentially
+(/root/reference/sclmd/md.py:506 — the nstart..nstop loop). Here the
+ensemble axis is a ``vmap`` batch: every trajectory carries its own
+colored-noise series (independent PRNG keys), and the whole batch is one
+XLA program. On a device mesh, trajectories shard over the ``dp`` axis
+and the per-bath matrices (friction / memory-kernel) can shard over a
+``tp`` axis — XLA inserts the collectives.
+
+This is the TPU replacement for "no parallelism in the reference"
+(SURVEY.md section 2): DP = vmapped trajectories; TP = sharded bath
+matmuls; the memory-kernel (sequence-like) axis stays on-chip as the
+scan carry.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sclmd_tpu.md import GLESystem, MDState, initial_state, run_segment, \
+    thermal_init
+
+
+def make_mesh(axis_sizes: dict[str, int],
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a Mesh from {'dp': n, 'tp': m}-style axis sizes."""
+    devices = devices if devices is not None else jax.devices()
+    names = tuple(axis_sizes.keys())
+    sizes = tuple(axis_sizes.values())
+    n = int(np.prod(sizes))
+    if n > len(devices):
+        raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
+    dev = np.asarray(devices[:n]).reshape(sizes)
+    return Mesh(dev, names)
+
+
+def ensemble_noise(system: GLESystem, key: jax.Array, n: int) -> GLESystem:
+    """Attach n independent noise series per bath (leading batch axis)."""
+    new_baths = []
+    for i, b in enumerate(system.baths):
+        bkeys = jax.random.fold_in(key, i)
+        keys = jax.random.split(bkeys, n)
+        noise = jax.vmap(lambda k: b.gnoi(k).noise)(keys)
+        # drop the (complex) PSD factors from the hot-loop pytree
+        new_baths.append(b.replace(noise=noise, nevecs=None, nstd=None))
+    return system.replace(baths=tuple(new_baths))
+
+
+def ensemble_states(system: GLESystem, n: int, key=None, hw=None,
+                    evecs=None, T=None, dtype=None) -> MDState:
+    """Batched initial states: zeros, or Bose-weighted thermal draws."""
+    if key is None:
+        st = initial_state(system, dtype=dtype)
+        return jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (n,) + x.shape), st)
+    keys = jax.random.split(key, n)
+    return jax.vmap(lambda k: thermal_init(k, system, hw, evecs, T))(keys)
+
+
+def _system_axes(system: GLESystem):
+    """vmap in_axes spec: batch only the per-bath noise leaves."""
+    axes = jax.tree_util.tree_map(lambda _: None, system)
+    return axes.replace(baths=tuple(
+        b.replace(noise=0) for b in axes.baths))
+
+
+def ensemble_run(system: GLESystem, states: MDState, nsteps: int,
+                 t0: int = 0):
+    """Run nsteps of GLE MD for the whole batch (one compiled program).
+
+    ``t0``: static segment offset (mod nmd) — must equal the trajectories'
+    current step count, as in md.run_segment.
+    """
+    return jax.vmap(partial(run_segment, nsteps=nsteps, t0=t0),
+                    in_axes=(_system_axes(system), 0))(system, states)
+
+
+def shard_ensemble(mesh: Mesh, system: GLESystem, states: MDState,
+                   dp: str = "dp", tp: Optional[str] = None):
+    """Place the batch on a mesh: trajectories over ``dp``; optionally
+    shard each bath's friction/kernel matrices row-wise over ``tp``.
+    """
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    states = jax.tree_util.tree_map(lambda x: put(x, P(dp)), states)
+    new_baths = []
+    for b in system.baths:
+        b = b.replace(noise=put(b.noise, P(dp)))
+        if tp is not None:
+            if hasattr(b, "efric"):
+                b = b.replace(efric=put(b.efric, P(tp, None)))
+            if getattr(b, "kernel_im", None) is not None:
+                b = b.replace(kernel_im=put(b.kernel_im, P(tp, None)))
+        new_baths.append(b)
+    system = system.replace(baths=tuple(new_baths))
+    if system.dyn is not None and tp is not None:
+        system = system.replace(dyn=put(system.dyn, P(tp, None)))
+    return system, states
+
+
+def sharded_ensemble_run(mesh: Mesh, system: GLESystem, states: MDState,
+                         nsteps: int, dp: str = "dp",
+                         tp: Optional[str] = None):
+    """Shard, then run: the jitted batched scan partitions over the mesh."""
+    system, states = shard_ensemble(mesh, system, states, dp=dp, tp=tp)
+    with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
+        return ensemble_run(system, states, nsteps)

@@ -83,7 +83,7 @@ class TestEBath:
         phis = jnp.asarray(rng.normal(size=(1, nph)))
         qhis = jnp.asarray(rng.normal(size=(1, nph)))
         t = 5
-        f = np.asarray(B.bforce(eb, t, phis, qhis, nph))
+        f = np.asarray(B.bforce(eb, eb.noise[t % 64], phis, qhis, nph))
         v = np.asarray(phis)[0][[2, 4, 7]]
         want_local = np.asarray(eb.noise)[t % 64] - np.asarray(eb.efric) @ v
         want = np.zeros(nph)
@@ -97,7 +97,7 @@ class TestEBath:
         phis = jnp.asarray(rng.normal(size=(1, nc)))
         qhis = jnp.asarray(rng.normal(size=(1, nc)))
         t = 11
-        f = np.asarray(B.bforce(eb, t, phis, qhis, nc))
+        f = np.asarray(B.bforce(eb, eb.noise[t % 64], phis, qhis, nc))
         v, q = np.asarray(phis)[0], np.asarray(qhis)[0]
         want = (np.asarray(eb.noise)[t % 64]
                 - np.asarray(eb.efric) @ v
@@ -138,7 +138,7 @@ class TestPhBath:
         phis = jnp.asarray(rng.normal(size=(ml, nc)))
         qhis = jnp.zeros((ml, nc))
         t = 3
-        f = np.asarray(B.bforce(pb, t, phis, qhis, nc))
+        f = np.asarray(B.bforce(pb, pb.noise[t % nmd], phis, qhis, nc))
         kern = np.asarray(pb.kernel)
         want = np.asarray(pb.noise)[t % nmd].copy()
         for m in range(ml):

@@ -1,0 +1,137 @@
+"""End-to-end physics cross-check: GLE MD vs NEGF Landauer transport.
+
+The reference validates itself by computing the same junction's thermal
+conductance two independent ways (examples/runmd.py vs examples/runnegf.py,
+README.md:31-35). Here: a harmonic chain with two wideband quantum baths —
+the MD ensemble's steady-state heat current must match the ballistic
+Landauer integral with Bose occupations.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sclmd_tpu import baths as B
+from sclmd_tpu import units as U
+from sclmd_tpu.md import initial_state, run_segment
+from sclmd_tpu.negf import landauer_current_natural
+from sclmd_tpu.models.harmonic import chain_dynmat
+from tests.test_md import make_system
+
+
+def negf_current_natural(dyn, eta, bathL, bathR, TL, TR, nw=2000,
+                         wmax=1.0):
+    """Dense Caroli transmission in natural units + Landauer integral."""
+    dyn = np.asarray(dyn)
+    nd = len(dyn)
+    ws = np.linspace(0, wmax, nw + 1)[1:]
+    tm = []
+    for w in ws:
+        se = np.zeros((nd, nd), complex)
+        for i in bathL:
+            se[i, i] += -1j * w * eta
+        for i in bathR:
+            se[i, i] += -1j * w * eta
+        g = np.linalg.inv((w + 1e-9j) ** 2 * np.eye(nd) - dyn - se)
+        gl = np.zeros((nd, nd))
+        gr = np.zeros((nd, nd))
+        for i in bathL:
+            gl[i, i] = 2 * w * eta
+        for i in bathR:
+            gr[i, i] = 2 * w * eta
+        tm.append(np.real(np.trace(g @ gl @ g.conj().T @ gr)))
+    return float(landauer_current_natural(ws, np.array(tm), TL, TR))
+
+
+@pytest.mark.slow
+def test_md_conductance_matches_negf(key):
+    """Quantum GLE heat current == Landauer integral within stat error."""
+    nph = 8
+    k_spring = 0.04                  # band top 2 sqrt(k) = 0.4 eV
+    dt = 0.25 / 0.658
+    nmd = 2 ** 14
+    T, delta = 300.0, 0.5
+    TL, TR = T * (1 + delta / 2), T * (1 - delta / 2)
+    eta = 1.0 / (50 / 0.658)         # coupling strength
+
+    dyn = np.asarray(chain_dynmat(nph, k_spring))
+    bathL, bathR = [0], [nph - 1]
+
+    ebl = B.ebath(bathL, TL, dt, nmd, wmax=1.0, efric=np.eye(1) * eta,
+                  dtype=jnp.float64)
+    ebr = B.ebath(bathR, TR, dt, nmd, wmax=1.0, efric=np.eye(1) * eta,
+                  dtype=jnp.float64)
+
+    # ensemble of independent runs, vmapped over noise realisations
+    nens = 8
+    keys = jax.random.split(key, (nens, 2))
+
+    def one(ks):
+        sysb = make_system(dyn, [ebl.gnoi(ks[0]), ebr.gnoi(ks[1])],
+                           dt, nmd)
+        st = initial_state(sysb, dtype=jnp.float64)
+        _, ys = run_segment(sysb, st, nmd)
+        cur = ys["cur"][nmd // 4:]
+        return jnp.mean(cur[:, 0]), jnp.mean(cur[:, 1])
+
+    jl, jr = jax.vmap(one)(keys)
+    j_md = float(jnp.mean((jl - jr) / 2))
+    j_err = float(jnp.std((jl - jr) / 2) / np.sqrt(nens))
+
+    j_negf = negf_current_natural(dyn, eta, bathL, bathR, TL, TR)
+
+    assert j_negf > 0
+    # agreement within 3 sigma and within 15%
+    assert abs(j_md - j_negf) < max(3 * j_err, 0.15 * j_negf), (
+        j_md, j_err, j_negf)
+
+
+@pytest.mark.slow
+def test_classical_limit_conductance(key):
+    """classical=True baths reproduce the classical Landauer integral
+    (occupation kT/w)."""
+    nph, k_spring = 6, 0.04
+    dt, nmd = 0.4, 2 ** 14
+    T, delta = 300.0, 0.5
+    TL, TR = T * (1 + delta / 2), T * (1 - delta / 2)
+    eta = 1.0 / 60.0
+    dyn = np.asarray(chain_dynmat(nph, k_spring))
+    bathL, bathR = [0], [nph - 1]
+
+    nens = 8
+    keys = jax.random.split(key, (nens, 2))
+
+    def one(ks):
+        ebl = B.ebath(bathL, TL, dt, nmd, wmax=1.0, efric=np.eye(1) * eta,
+                      classical=True, dtype=jnp.float64).gnoi(ks[0])
+        ebr = B.ebath(bathR, TR, dt, nmd, wmax=1.0, efric=np.eye(1) * eta,
+                      classical=True, dtype=jnp.float64).gnoi(ks[1])
+        sysb = make_system(dyn, [ebl, ebr], dt, nmd)
+        _, ys = run_segment(sysb, initial_state(sysb, dtype=jnp.float64),
+                            nmd)
+        cur = ys["cur"][nmd // 4:]
+        return jnp.mean(cur[:, 0]), jnp.mean(cur[:, 1])
+
+    jl, jr = jax.vmap(one)(keys)
+    j_md = float(jnp.mean((jl - jr) / 2))
+    j_err = float(jnp.std((jl - jr) / 2) / np.sqrt(nens))
+
+    # classical Landauer: occupation n = kT/w -> J = (1/2pi) int T(w)
+    # kB (TL-TR) dw
+    dyn_np = np.asarray(dyn)
+    nd = len(dyn_np)
+    ws = np.linspace(0, 1.0, 2001)[1:]
+    tm = []
+    for w in ws:
+        se = np.zeros((nd, nd), complex)
+        se[0, 0] = se[-1, -1] = -1j * w * eta
+        g = np.linalg.inv((w + 1e-9j) ** 2 * np.eye(nd) - dyn_np - se)
+        gm = np.zeros((nd, nd)); gm[0, 0] = 2 * w * eta
+        gp = np.zeros((nd, nd)); gp[-1, -1] = 2 * w * eta
+        tm.append(np.real(np.trace(g @ gm @ g.conj().T @ gp)))
+    j_cl = np.trapezoid(np.array(tm), ws) * U.KB * (TL - TR) / (2 * np.pi)
+
+    assert abs(j_md - j_cl) < max(3 * j_err, 0.15 * j_cl), (
+        j_md, j_err, j_cl)

@@ -1,0 +1,245 @@
+"""Tests of the GLE velocity-Verlet scan engine (sclmd_tpu.md)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sclmd_tpu import baths as B
+from sclmd_tpu import units as U
+from sclmd_tpu.md import (GLESystem, MDState, initial_state, md, run_segment,
+                          set_dyn, thermal_init, vv_step)
+from sclmd_tpu.models.harmonic import HarmonicDriver, chain_dynmat
+from sclmd_tpu.ops.functions import rpadleft
+
+
+def reference_vv(dyn, baths_np, mask, dt, state, nsteps):
+    """Plain-NumPy re-derivation of md.py:367-435 for tiny systems.
+
+    baths_np: list of dicts {cids, kernel (ml,nc,nc), noise (nmd,nc),
+    local(bool), nmd} — phonon-style friction only.
+    """
+    nph = dyn.shape[0]
+    t, p, q = state
+    ml = max(b["kernel"].shape[0] for b in baths_np)
+    phis = np.zeros((ml, nph))
+    qhis = np.zeros((ml, nph))
+
+    def bf(b, it, ph, qh):
+        f = b["noise"][it % b["nmd"]].copy()
+        k = b["kernel"]
+        for m in range(k.shape[0]):
+            term = k[m] @ ph[m][b["cids"]]
+            f -= term if k.shape[0] == 1 else term * dt
+        out = np.zeros(nph)
+        out[b["cids"]] = f
+        return out
+
+    curs, etots = [], []
+    for _ in range(nsteps):
+        etots.append(0.5 * p @ p)
+        qhis = np.concatenate([q[None], qhis[:-1]])
+        phis = np.concatenate([p[None], phis[:-1]])
+        fb0 = [bf(b, t, phis, qhis) for b in baths_np]
+        f = -dyn @ q + sum(fb0)
+        pthalf = p + f * dt / 2
+        qtt = q + p * dt + f * dt**2 / 2
+        curs.append([fb @ p for fb in fb0])
+        for _corr in range(2):
+            tphis = np.concatenate([(pthalf if _corr == 0 else ptt1)[None],
+                                    phis[:-1]])
+            tqhis = np.concatenate([qtt[None], qhis[:-1]])
+            f = -dyn @ qtt + sum(bf(b, t + 1, tphis, tqhis)
+                                 for b in baths_np)
+            ptt1 = pthalf + dt / 2 * f
+        p = ptt1 * mask
+        q = qtt * mask
+        t += 1
+    return (t, p, q), np.array(curs), np.array(etots)
+
+
+def make_system(dyn, baths, dt, nmd, mask=None, **kw):
+    nph = dyn.shape[0]
+    ml = max([b.ml for b in baths], default=1)
+    return GLESystem(
+        dyn=jnp.asarray(dyn), baths=tuple(baths),
+        mask=jnp.ones(nph) if mask is None else jnp.asarray(mask),
+        dt=dt, nph=nph, ml=ml, nmd=nmd, **kw)
+
+
+class TestStepAgainstOracle:
+    @pytest.mark.parametrize("ml", [1, 4])
+    def test_matches_numpy_reference(self, rng, key, ml):
+        nph, nmd, dt = 6, 16, 0.3
+        dyn = np.asarray(chain_dynmat(nph, 0.05))
+        cids = np.array([0, 1])
+        if ml == 1:
+            pb = B.phbath(300.0, cids, 0.1, 20, dt, nmd, dtype=jnp.float64)
+        else:
+            gwl = np.linspace(0, 0.5, 8)
+            gam = np.array([np.eye(2) * 0.1 * np.exp(-w) for w in gwl])
+            pb = B.phbath(300.0, cids, 0.25, 20, dt, nmd, ml=ml,
+                          gamma=gam, gwl=gwl, dtype=jnp.float64)
+        pb = pb.gnoi(key)
+        mask = np.ones(nph)
+        mask[-1] = 0.0
+        system = make_system(dyn, [pb], dt, nmd, mask=mask)
+
+        p0 = rng.normal(size=nph) * mask
+        q0 = rng.normal(size=nph) * mask
+        st = initial_state(system, dtype=jnp.float64).replace(
+            p=jnp.asarray(p0), q=jnp.asarray(q0))
+        nsteps = 10
+        final, ys = run_segment(system, st, nsteps)
+
+        bnp = dict(cids=cids, kernel=np.asarray(pb.kernel),
+                   noise=np.asarray(pb.noise), nmd=nmd)
+        (t2, p2, q2), curs, etots = reference_vv(
+            dyn, [bnp], mask, dt, (0, p0.copy(), q0.copy()), nsteps)
+
+        np.testing.assert_allclose(np.asarray(final.p), p2, rtol=1e-10,
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(final.q), q2, rtol=1e-10,
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(ys["cur"]), curs, rtol=1e-9,
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(ys["etot"]), etots, rtol=1e-10)
+        assert int(final.t) == nsteps
+
+    def test_energy_conservation_no_bath(self, rng):
+        """Pure Verlet on a harmonic chain conserves total energy."""
+        nph, dt = 8, 0.05
+        dyn = np.asarray(chain_dynmat(nph, 0.2, kend=0.2))
+        system = make_system(dyn, [], dt, 128)
+        q0 = rng.normal(size=nph) * 0.1
+        st = initial_state(system, dtype=jnp.float64).replace(
+            q=jnp.asarray(q0))
+        e0 = 0.5 * q0 @ dyn @ q0
+        final, ys = run_segment(system, st, 2000)
+        p, q = np.asarray(final.p), np.asarray(final.q)
+        e1 = 0.5 * p @ p + 0.5 * q @ dyn @ q
+        assert abs(e1 - e0) / e0 < 1e-3
+
+
+class TestSegmenting:
+    def test_two_segments_equal_one(self, rng, key):
+        nph, nmd, dt = 4, 32, 0.2
+        dyn = np.asarray(chain_dynmat(nph, 0.1))
+        pb = B.phbath(200.0, np.array([0, 3]), 0.2, 16, dt, nmd,
+                      dtype=jnp.float64).gnoi(key)
+        system = make_system(dyn, [pb], dt, nmd)
+        st = initial_state(system, dtype=jnp.float64).replace(
+            q=jnp.asarray(rng.normal(size=nph) * 0.1))
+        f_full, _ = run_segment(system, st, 32)
+        mid, _ = run_segment(system, st, 16)
+        f_two, _ = run_segment(system, mid, 16, t0=16)
+        np.testing.assert_allclose(np.asarray(f_full.p), np.asarray(f_two.p),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(f_full.q), np.asarray(f_two.q),
+                                   rtol=1e-12)
+
+
+class TestThermalisation:
+    def test_classical_equipartition(self, key):
+        """Wideband classical baths at T on all DOFs -> <KE> = nph kT / 2."""
+        nph, dt, T = 8, 0.25 / 0.658, 300.0
+        nmd = 2 ** 13
+        dyn = np.asarray(chain_dynmat(nph, 0.04, kend=0.04))
+        eta = np.eye(nph) / (100 / 0.658)
+        eb = B.ebath(range(nph), T, dt, nmd, wmax=1.0, nw=500,
+                     efric=eta, classical=True, dtype=jnp.float64)
+        eb = eb.gnoi(key)
+        system = make_system(dyn, [eb], dt, nmd)
+        st = initial_state(system, dtype=jnp.float64)
+        final, ys = run_segment(system, st, nmd)
+        # discard the first quarter as equilibration
+        ke = np.asarray(ys["etot"])[nmd // 4:].mean()
+        expect = 0.5 * nph * U.KB * T
+        assert abs(ke - expect) / expect < 0.10, (ke, expect)
+
+    def test_heat_flows_hot_to_cold(self, key):
+        nph, dt, T, delta = 8, 0.25 / 0.658, 300.0, 0.5
+        nmd = 2 ** 13
+        dyn = np.asarray(chain_dynmat(nph, 0.04))
+        eta = np.eye(2) / (100 / 0.658)
+        k1, k2 = jax.random.split(key)
+        ebl = B.ebath([0, 1], T * (1 + delta / 2), dt, nmd, wmax=1.0,
+                      efric=eta, dtype=jnp.float64).gnoi(k1)
+        ebr = B.ebath([6, 7], T * (1 - delta / 2), dt, nmd, wmax=1.0,
+                      efric=eta, dtype=jnp.float64).gnoi(k2)
+        system = make_system(dyn, [ebl, ebr], dt, nmd)
+        st = initial_state(system, dtype=jnp.float64)
+        final, ys = run_segment(system, st, nmd)
+        cur = np.asarray(ys["cur"])[nmd // 4:]
+        jl, jr = cur[:, 0].mean(), cur[:, 1].mean()
+        assert jl > 0 and jr < 0        # energy in from hot, out to cold
+        # stationarity: net flux roughly balances
+        assert abs(jl + jr) < 0.5 * max(abs(jl), abs(jr))
+
+
+class TestWrapper:
+    def _build(self, tmpdir, nmd=64, npie=1, seed=7):
+        nat = 4
+        axyz = [["C", 1.0 * i, 0.0, 0.0] for i in range(nat)]
+        dyn = np.asarray(chain_dynmat(3 * nat, 0.05))
+        runner = md(0.4, nmd, 300.0, axyz=axyz, dyn=dyn, nstart=0,
+                    nstop=1, npie=npie, dtype=jnp.float64, seed=seed,
+                    outdir=str(tmpdir))
+        eta = np.eye(3) / 80.0
+        eb = B.ebath(range(3), 300.0, 0.4, nmd, wmax=1.0, efric=eta,
+                     dtype=jnp.float64)
+        runner.AddBath(eb)
+        runner.AddConstr([range(9, 12)])
+        return runner
+
+    def test_run_writes_kappa(self, tmp_path):
+        runner = self._build(tmp_path)
+        runner.Run()
+        files = list(tmp_path.glob("kappa.300.bath0.run0.dat"))
+        assert len(files) == 1
+        row = files[0].read_text().split()
+        assert int(row[0]) == 0 and float(row[1]) == 300.0
+
+    def test_resume_matches_uninterrupted(self, tmp_path):
+        import shutil
+        d1 = tmp_path / "full"
+        d2 = tmp_path / "interrupted"
+        d1.mkdir()
+        d2.mkdir()
+        r1 = self._build(d1, nmd=64, npie=4, seed=3)
+        r1.Run()
+        ck1 = np.load(d1 / "MD0.npz")
+
+        # interrupted run: execute only 2 segments, then rebuild + resume
+        r2 = self._build(d2, nmd=64, npie=4, seed=3)
+        system = r2._build_system()
+        state = r2.initialise(system)
+        for i in range(len(r2.baths)):
+            r2.baths[i] = r2.baths[i].gnoi(r2._next_key())
+        system = r2._build_system()
+        from sclmd_tpu.md import run_segment as rs
+        for i in range(2):
+            state, _ = rs(system, state, 16, t0=16 * i)
+        r2.dump(state, 1, 0)
+        # fresh wrapper resumes from the checkpoint
+        r3 = self._build(d2, nmd=64, npie=4, seed=3)
+        r3.Run()
+        ck2 = np.load(d2 / "MD0.npz")
+        np.testing.assert_allclose(ck1["p"], ck2["p"], rtol=1e-10)
+        np.testing.assert_allclose(ck1["q"], ck2["q"], rtol=1e-10)
+
+    def test_constraint_holds(self, tmp_path):
+        runner = self._build(tmp_path)
+        runner.Run()
+        assert np.allclose(np.asarray(runner.state.q)[9:12], 0.0)
+        assert np.allclose(np.asarray(runner.state.p)[9:12], 0.0)
+
+    def test_traj_and_power_outputs(self, tmp_path):
+        runner = self._build(tmp_path)
+        runner.CalPowerSpec()
+        runner.SaveTraj(16)
+        runner.Run()
+        assert (tmp_path / "power.300.run0.dat").exists()
+        traj = (tmp_path / "trajectories.300.run0.ani").read_text()
+        assert traj.splitlines()[0].strip() == "4"

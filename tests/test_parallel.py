@@ -1,0 +1,84 @@
+"""Sharded ensemble tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sclmd_tpu import baths as B
+from sclmd_tpu.md import GLESystem, initial_state, run_segment
+from sclmd_tpu.models.harmonic import chain_dynmat
+from sclmd_tpu.parallel.ensemble import (ensemble_noise, ensemble_run,
+                                         ensemble_states, make_mesh,
+                                         shard_ensemble)
+
+
+def _small_system(nph=12, nmd=32, dt=0.4):
+    dyn = jnp.asarray(chain_dynmat(nph, 0.05))
+    eta = np.eye(2) / 60.0
+    ebl = B.ebath([0, 1], 330.0, dt, nmd, wmax=1.0, efric=eta,
+                  dtype=jnp.float64)
+    ebr = B.ebath([nph - 2, nph - 1], 270.0, dt, nmd, wmax=1.0, efric=eta,
+                  dtype=jnp.float64)
+    return GLESystem(dyn=dyn, baths=(ebl, ebr), mask=jnp.ones(nph),
+                     dt=dt, nph=nph, ml=1, nmd=nmd)
+
+
+def test_ensemble_matches_sequential(key):
+    system = _small_system()
+    n = 4
+    bsys = ensemble_noise(system, key, n)
+    states = ensemble_states(bsys, n)
+    finals, ys = ensemble_run(bsys, states, 16)
+    assert ys["cur"].shape == (n, 16, 2)
+    # trajectory 2 must equal a sequential run with the same noise
+    seq_sys = system.replace(baths=tuple(
+        b.replace(noise=bb.noise[2])
+        for b, bb in zip(system.baths, bsys.baths)))
+    f2, ys2 = run_segment(seq_sys, initial_state(seq_sys,
+                                                 dtype=jnp.float64), 16)
+    np.testing.assert_allclose(np.asarray(finals.p[2]), np.asarray(f2.p),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(ys["cur"][2]),
+                               np.asarray(ys2["cur"]), rtol=1e-12)
+
+
+def test_trajectories_differ(key):
+    system = _small_system()
+    bsys = ensemble_noise(system, key, 3)
+    states = ensemble_states(bsys, 3)
+    finals, _ = ensemble_run(bsys, states, 16)
+    assert not np.allclose(np.asarray(finals.p[0]), np.asarray(finals.p[1]))
+
+
+@pytest.mark.parametrize("tp", [None, "tp"])
+def test_sharded_run_matches_unsharded(key, tp):
+    n_dev = len(jax.devices())
+    assert n_dev == 8, "conftest should provide 8 virtual CPU devices"
+    mesh = make_mesh({"dp": 4, "tp": 2}) if tp else make_mesh({"dp": 8})
+    system = _small_system()
+    n = 8
+    bsys = ensemble_noise(system, key, n)
+    states = ensemble_states(bsys, n)
+    f_ref, ys_ref = ensemble_run(bsys, states, 12)
+    ssys, sstates = shard_ensemble(mesh, bsys, states, dp="dp", tp=tp)
+    with mesh:
+        f_sh, ys_sh = ensemble_run(ssys, sstates, 12)
+    np.testing.assert_allclose(np.asarray(f_sh.p), np.asarray(f_ref.p),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(ys_sh["cur"]),
+                               np.asarray(ys_ref["cur"]), rtol=1e-10)
+
+
+def test_graft_dryrun():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert np.isfinite(np.asarray(out[0])).all()
