@@ -1,0 +1,256 @@
+"""DeepMD-style neural-network potential, fully on-device.
+
+Replaces the reference's deepmddriver.py (TensorFlow DeepPot evaluated on
+the host each step): here the descriptor + MLP run as jnp inside the
+jitted MD scan, so the NN force path never leaves the TPU
+(BASELINE.json config 4). Architecture follows the DeepMD-SE ("smooth
+edition") recipe:
+
+  * per-neighbor smooth weight s(r) = 1/r * switch(r; r_on, r_cut)
+  * generalized coordinates R_ij = s(r) * (1, x/r, y/r, z/r)
+  * per-type-pair embedding MLP  e(s)  -> (naxis,) features
+  * symmetric descriptor D_i = (E^T R)(R^T E') / nnei^2 flattened
+  * per-type fitting MLP -> atomic energy; total E = sum_i E_i
+
+Static neighbor lists (max_nnei padding, masked) keep shapes fixed for
+XLA. Training utilities (energy+force loss with optax) and npz
+checkpointing included — the reference delegates training to
+deepmd-kit (tools.py:262-295 only preps data).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# neighbor lists (static, padded)
+# ---------------------------------------------------------------------------
+def build_neighbors(xyz, cutoff: float, max_nnei: int,
+                    cell: Optional[np.ndarray] = None, skin: float = 0.5):
+    """Padded neighbor table (na, max_nnei) + mask from the reference
+    geometry. Index -1 marks padding (mapped to self with zero weight).
+    """
+    x = np.asarray(xyz).reshape(-1, 3)
+    na = len(x)
+    d = x[None, :, :] - x[:, None, :]
+    if cell is not None:
+        d -= np.round(d / np.asarray(cell)) * np.asarray(cell)
+    r = np.sqrt((d ** 2).sum(-1))
+    np.fill_diagonal(r, np.inf)
+    nbr = np.full((na, max_nnei), -1, dtype=np.int64)
+    for i in range(na):
+        js = np.nonzero(r[i] < cutoff + skin)[0]
+        js = js[np.argsort(r[i][js])][:max_nnei]
+        nbr[i, : len(js)] = js
+    mask = nbr >= 0
+    return np.where(mask, nbr, 0), mask
+
+
+def smooth_switch(r, r_on, r_cut):
+    """C2-smooth switching function: 1 below r_on, 0 above r_cut."""
+    u = (r - r_on) / (r_cut - r_on)
+    u = jnp.clip(u, 0.0, 1.0)
+    sw = 1.0 - 6 * u ** 5 + 15 * u ** 4 - 10 * u ** 3
+    return sw
+
+
+# ---------------------------------------------------------------------------
+# model
+# ---------------------------------------------------------------------------
+def _mlp_params(key, sizes, dtype):
+    params = []
+    for i in range(len(sizes) - 1):
+        key, k1, k2 = jax.random.split(key, 3)
+        w = jax.random.normal(k1, (sizes[i], sizes[i + 1]),
+                              dtype) / np.sqrt(sizes[i])
+        b = jnp.zeros((sizes[i + 1],), dtype)
+        params.append((w, b))
+    return params
+
+
+def _mlp_apply(params, x):
+    for i, (w, b) in enumerate(params):
+        x = x @ w + b
+        if i < len(params) - 1:
+            x = jnp.tanh(x)
+    return x
+
+
+class DeepPotSE:
+    """Smooth-edition descriptor + fitting network.
+
+    Parameters
+    ----------
+    types : (na,) int array of atom type ids (0-based).
+    ntypes : number of distinct types.
+    rcut, rcut_smth : outer/inner cutoff radii (angstrom).
+    neighbors, nmask : static neighbor table from build_neighbors.
+    embed_sizes / fit_sizes : hidden layer widths.
+    naxis : number of embedding columns kept on the second factor.
+    """
+
+    def __init__(self, types, ntypes, rcut, rcut_smth, neighbors, nmask,
+                 embed_sizes=(16, 32), fit_sizes=(32, 32), naxis=4,
+                 cell=None, dtype=jnp.float32, seed=0):
+        self.types = jnp.asarray(np.asarray(types, dtype=np.int32))
+        self.ntypes = int(ntypes)
+        self.rcut = float(rcut)
+        self.rcut_smth = float(rcut_smth)
+        self.nbr = jnp.asarray(neighbors)
+        self.nmask = jnp.asarray(nmask)
+        self.naxis = int(naxis)
+        self.dtype = dtype
+        self.cell = None if cell is None else jnp.asarray(cell, dtype)
+        self.embed_sizes = tuple(embed_sizes)
+        self.fit_sizes = tuple(fit_sizes)
+        self.params = self.init_params(jax.random.PRNGKey(seed))
+
+    def init_params(self, key):
+        nemb = self.embed_sizes[-1]
+        ndesc = nemb * self.naxis
+        params = {"embed": [], "fit": []}
+        for tp in range(self.ntypes):   # embedding net per NEIGHBOR type
+            key, sub = jax.random.split(key)
+            params["embed"].append(
+                _mlp_params(sub, (1,) + self.embed_sizes, self.dtype))
+        for tp in range(self.ntypes):   # fitting net per CENTER type
+            key, sub = jax.random.split(key)
+            params["fit"].append(
+                _mlp_params(sub, (ndesc,) + self.fit_sizes + (1,),
+                            self.dtype))
+        return params
+
+    # -- energy ------------------------------------------------------------
+    def energy(self, params, x):
+        """Total potential energy (eV) for positions x (na, 3)."""
+        x = jnp.asarray(x, self.dtype)
+        xi = x[:, None, :]                       # (na, 1, 3)
+        xj = x[self.nbr]                         # (na, nn, 3)
+        d = xj - xi
+        if self.cell is not None:
+            d = d - jnp.round(d / self.cell) * self.cell
+        r2 = jnp.sum(d * d, axis=-1)
+        r = jnp.sqrt(jnp.where(self.nmask, r2, 1.0))
+        sw = smooth_switch(r, self.rcut_smth, self.rcut)
+        s = jnp.where(self.nmask, sw / r, 0.0)   # (na, nn)
+        # generalized coordinates (na, nn, 4)
+        rhat = d / r[..., None]
+        R = jnp.concatenate([s[..., None], s[..., None] * rhat], axis=-1)
+
+        # per-neighbor-type embedding of s
+        ntype = self.types[self.nbr]             # (na, nn)
+        s_in = s[..., None]                      # (na, nn, 1)
+        emb = jnp.zeros(s.shape + (self.embed_sizes[-1],), self.dtype)
+        for tp in range(self.ntypes):
+            e_tp = _mlp_apply(params["embed"][tp], s_in)
+            emb = jnp.where((ntype == tp)[..., None], e_tp, emb)
+        emb = jnp.where(self.nmask[..., None], emb, 0.0)
+
+        nn = self.nbr.shape[1]
+        G = jnp.einsum("ink,inl->ikl", emb, R) / nn     # (na, nemb, 4)
+        Gsub = G[:, : self.naxis, :]                     # (na, naxis, 4)
+        D = jnp.einsum("ikl,iml->ikm", G, Gsub)          # (na, nemb, naxis)
+        D = D.reshape(D.shape[0], -1)
+
+        e_at = jnp.zeros((D.shape[0],), self.dtype)
+        for tp in range(self.ntypes):
+            e_tp = _mlp_apply(params["fit"][tp], D)[:, 0]
+            e_at = jnp.where(self.types == tp, e_tp, e_at)
+        return jnp.sum(e_at)
+
+    def energy_fn(self, params=None):
+        p = params if params is not None else self.params
+        return lambda x: self.energy(p, x)
+
+    def forces(self, params, x):
+        return -jax.grad(lambda xx: self.energy(params, xx))(x)
+
+    # -- training ----------------------------------------------------------
+    def loss(self, params, batch, wf: float = 10.0):
+        """Energy + force MSE: batch = dict(x (nb,na,3), e (nb,),
+        f (nb,na,3))."""
+        def one(x, e, f):
+            ep = self.energy(params, x)
+            fp = self.forces(params, x)
+            na = x.shape[0]
+            return ((ep - e) / na) ** 2 + wf * jnp.mean((fp - f) ** 2)
+        return jnp.mean(jax.vmap(one)(batch["x"], batch["e"], batch["f"]))
+
+    def fit(self, data, steps=500, lr=1e-3, wf: float = 10.0,
+            params=None, verbose=False):
+        """Train on {x, e, f} arrays with Adam; returns trained params."""
+        import optax
+        params = params if params is not None else self.params
+        opt = optax.adam(lr)
+        state = opt.init(params)
+
+        @jax.jit
+        def step(params, state, batch):
+            l, g = jax.value_and_grad(self.loss)(params, batch, wf)
+            updates, state = opt.update(g, state)
+            return optax.apply_updates(params, updates), state, l
+
+        for i in range(steps):
+            params, state, l = step(params, state, data)
+            if verbose and i % 100 == 0:
+                print(f"nnp.fit step {i}: loss {float(l):.3e}")
+        self.params = params
+        return params
+
+    # -- persistence -------------------------------------------------------
+    def save(self, path):
+        flat, treedef = jax.tree_util.tree_flatten(self.params)
+        np.savez(path, n=len(flat),
+                 **{f"p{i}": np.asarray(a) for i, a in enumerate(flat)})
+
+    def load(self, path):
+        data = np.load(path)
+        flat = [jnp.asarray(data[f"p{i}"]) for i in range(int(data["n"]))]
+        treedef = jax.tree_util.tree_structure(self.params)
+        self.params = jax.tree_util.tree_unflatten(treedef, flat)
+        return self.params
+
+
+class deepmddriver:
+    """Reference-compatible NN-potential force driver
+    (deepmddriver.py:11-75): same protocol (.axyz/.conv/.f0/.force/
+    .energy), but the model evaluates inside the jitted MD step.
+
+    ``model`` is a DeepPotSE (or anything with ``energy_fn()``).
+    """
+
+    def __init__(self, model, axyz, md2ang=0.06466, dtype=jnp.float32):
+        from sclmd_tpu.models.driver import JaxDriver
+        self._drv = JaxDriver(model.energy_fn(), axyz, md2ang=md2ang,
+                              dtype=dtype)
+        self.model = model
+        for attr in ("axyz", "conv", "xyz", "els", "number", "f0"):
+            setattr(self, attr, getattr(self._drv, attr))
+
+    def force(self, q):
+        return self._drv.force(q)
+
+    def force_jax(self, q):
+        return self._drv.force_jax(q)
+
+    def absforce(self, q):
+        return self._drv.absforce(q)
+
+    def newx(self, q):
+        return self._drv.newx(q)
+
+    def initforce(self):
+        self._drv.initforce()
+        self.f0 = self._drv.f0
+
+    def energy(self, q=None):
+        return self._drv.energy(q)
+
+    def dynmat(self, q=None, **kw):
+        return self._drv.dynmat(q, **kw)

@@ -1,0 +1,169 @@
+"""Tersoff bond-order potential in pure JAX.
+
+REBO-class many-body carbon potential standing in for the reference's
+LAMMPS ``pair_style rebo`` force path (lammpsdriver.py; md.py
+potforce): covalent bond order b_ij depends on the local environment
+through the angular function g(theta), so bond breaking/formation
+physics is captured — unlike pair potentials. All tensors are fixed
+shape (padded static neighbor table), so the energy sits happily inside
+the jitted MD scan and ``jax.hessian`` gives the dynamical matrix
+(replacing the 146 s LAMMPS eskm call, negf.py:63).
+
+Functional form (J. Tersoff, PRB 39, 5566 (1989)):
+
+    E = 1/2 sum_i sum_j fc(r_ij) [ fR(r_ij) + b_ij fA(r_ij) ]
+    fR = A exp(-l1 r),  fA = -B exp(-l2 r)
+    b_ij = (1 + (beta zeta_ij)^n)^(-1/2n)
+    zeta_ij = sum_k fc(r_ik) g(th_ijk) exp[l3^m (r_ij - r_ik)^m]
+    g(th) = gamma (1 + c^2/d^2 - c^2/(d^2 + (h - cos th)^2))
+
+Parameters for carbon are Tersoff's published 1989 values.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Tersoff (1989) single-element parameter sets (public constants).
+TERSOFF_PARAMS = {
+    "C": dict(A=1393.6, B=346.74, lam1=3.4879, lam2=2.2119, lam3=0.0,
+              beta=1.5724e-7, n=0.72751, c=38049.0, d=4.3484,
+              h=-0.57058, R=1.95, D=0.15, gamma=1.0, m=3.0),
+    "Si": dict(A=1830.8, B=471.18, lam1=2.4799, lam2=1.7322, lam3=0.0,
+               beta=1.1e-6, n=0.78734, c=100390.0, d=16.217,
+               h=-0.59825, R=2.85, D=0.15, gamma=1.0, m=3.0),
+}
+
+
+def tersoff_energy(element: str, neighbors, nmask,
+                   cell: Optional[np.ndarray] = None,
+                   params: Optional[dict] = None):
+    """Energy-function factory for a single-element Tersoff system.
+
+    neighbors / nmask : padded (na, nn) static neighbor table
+    (models.nnp.build_neighbors). Returns ``energy(x)`` for x (na, 3)
+    in angstrom -> eV.
+    """
+    p = dict(TERSOFF_PARAMS[element]) if params is None else dict(params)
+    nbr = jnp.asarray(neighbors)
+    mask = jnp.asarray(nmask)
+    cell_j = None if cell is None else jnp.asarray(cell)
+    R, D = p["R"], p["D"]
+
+    def fc(r):
+        inner = r < R - D
+        outer = r > R + D
+        mid = 0.5 - 0.5 * jnp.sin(0.5 * jnp.pi * (r - R) / D)
+        return jnp.where(inner, 1.0, jnp.where(outer, 0.0, mid))
+
+    def g(costh):
+        c2, d2 = p["c"] ** 2, p["d"] ** 2
+        return p["gamma"] * (1.0 + c2 / d2
+                             - c2 / (d2 + (p["h"] - costh) ** 2))
+
+    def energy(x):
+        x = jnp.asarray(x)
+        xi = x[:, None, :]
+        xj = x[nbr]                       # (na, nn, 3)
+        dij = xj - xi
+        if cell_j is not None:
+            dij = dij - jnp.round(dij / cell_j) * cell_j
+        r2 = jnp.sum(dij * dij, axis=-1)
+        rij = jnp.sqrt(jnp.where(mask, r2, 1.0))       # (na, nn)
+        fcij = jnp.where(mask, fc(rij), 0.0)
+
+        # angular sum over k for every (i, j): cos th_ijk from the same
+        # padded table
+        rhat = dij / rij[..., None]                    # (na, nn, 3)
+        cos_ijk = jnp.einsum("ija,ika->ijk", rhat, rhat)   # (na, nn, nn)
+        rik = rij[:, None, :]                          # (na, 1, nn)
+        if p["lam3"] == 0.0:
+            expo = 1.0
+        else:
+            expo = jnp.exp((p["lam3"] * (rij[:, :, None] - rik))
+                           ** p["m"])
+        fck = jnp.where(mask, fc(rij), 0.0)[:, None, :]    # (na, 1, nn)
+        notself = ~jnp.eye(nbr.shape[1], dtype=bool)[None]  # k != j
+        zeta = jnp.sum(jnp.where(notself, fck * g(cos_ijk) * expo, 0.0),
+                       axis=-1)                        # (na, nn)
+
+        # (beta zeta)^n has an unbounded derivative at zeta = 0 (n < 1):
+        # use the safe-where pattern so grad/hessian stay finite for
+        # isolated bonds and padded entries
+        bz = p["beta"] * zeta
+        bz_safe = jnp.where(bz > 0, bz, 1.0)
+        bterm = jnp.where(bz > 0, bz_safe ** p["n"], 0.0)
+        bij = (1.0 + bterm) ** (-1.0 / (2.0 * p["n"]))
+
+        fR = p["A"] * jnp.exp(-p["lam1"] * rij)
+        fA = -p["B"] * jnp.exp(-p["lam2"] * rij)
+        e_pair = fcij * (fR + bij * fA)
+        return 0.5 * jnp.sum(jnp.where(mask, e_pair, 0.0))
+
+    return energy
+
+
+def graphene_ribbon(nx: int, ny: int, a: float = 1.42):
+    """Generate an armchair graphene-ribbon geometry (na, 3) — a
+    programmatic stand-in for the reference's structure.data junction.
+    Returns (positions angstrom, cell or None)."""
+    pos = []
+    dx = 1.5 * a
+    dy = np.sqrt(3) * a
+    for i in range(nx):
+        for j in range(ny):
+            x0 = i * dx
+            y0 = j * dy + (0.5 * dy if i % 2 else 0.0)
+            pos.append([x0, y0, 0.0])
+            pos.append([x0 + a * 0.5, y0 + dy / 2, 0.0])
+    return np.array(pos)
+
+
+class TersoffDriver:
+    """Force driver for a Tersoff system (JaxDriver specialisation)."""
+
+    def __init__(self, axyz, cutoff_skin=0.4, max_nnei=12, cell=None,
+                 element=None, dtype=jnp.float64, params=None):
+        from sclmd_tpu.models.driver import JaxDriver
+        from sclmd_tpu.models.nnp import build_neighbors
+        els = {a[0] for a in axyz}
+        element = element or next(iter(els))
+        if len(els) > 1:
+            raise NotImplementedError(
+                "single-element Tersoff only; multi-element mixing rules "
+                "are a planned extension")
+        x0 = np.array([a[1:] for a in axyz], dtype=float)
+        pcut = (params or TERSOFF_PARAMS[element])
+        nbr, mask = build_neighbors(x0, pcut["R"] + pcut["D"],
+                                    max_nnei, cell=cell, skin=cutoff_skin)
+        efn = tersoff_energy(element, nbr, mask, cell=cell, params=params)
+        self._drv = JaxDriver(efn, axyz, dtype=dtype)
+        self.energy_fn = efn
+        for attr in ("axyz", "conv", "xyz", "els", "number", "f0"):
+            setattr(self, attr, getattr(self._drv, attr))
+
+    def force(self, q):
+        return self._drv.force(q)
+
+    def force_jax(self, q):
+        return self._drv.force_jax(q)
+
+    def absforce(self, q):
+        return self._drv.absforce(q)
+
+    def initforce(self):
+        self._drv.initforce()
+        self.f0 = self._drv.f0
+
+    def energy(self, q=None):
+        return self._drv.energy(q)
+
+    def dynmat(self, q=None, **kw):
+        return self._drv.dynmat(q, **kw)
+
+    def quit(self):
+        pass

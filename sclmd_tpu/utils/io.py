@@ -1,0 +1,235 @@
+"""Readers/writers for electron-phonon structure artifacts.
+
+Equivalent of /root/reference/sclmd/myio.py: the reference stores all
+upstream DFT artifacts (dynamical matrices, lead self-energies, e-ph
+wideband matrices eta/xi-+/zeta1/zeta2) in NetCDF. Here every reader
+accepts BOTH NetCDF (when the netCDF4 package is present — it is not
+baked into this image) and this framework's native ``.npz`` layout with
+the same variable names, so pipelines port without conversion when
+netCDF4 exists, and run self-contained otherwise.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from sclmd_tpu.ops.functions import nearest
+
+try:
+    import netCDF4  # type: ignore
+    HAVE_NETCDF = True
+except Exception:   # pragma: no cover - image has no netCDF4
+    netCDF4 = None
+    HAVE_NETCDF = False
+
+
+def _open_vars(filename):
+    """Return a dict-like of arrays from .npz or NetCDF."""
+    if filename.endswith(".npz") or not HAVE_NETCDF:
+        data = np.load(filename)
+        return {k: np.asarray(data[k]) for k in data.files}
+    ds = netCDF4.Dataset(filename, "r")
+    out = {k: np.asarray(ds.variables[k]) for k in ds.variables}
+    ds.close()
+    return out
+
+
+def _write_vars(filename, arrays: dict, units: Optional[dict] = None):
+    """Write arrays to .npz, or NetCDF when asked for and available."""
+    if filename.endswith(".nc") and HAVE_NETCDF:
+        ds = netCDF4.Dataset(filename, "w")
+        for k, v in arrays.items():
+            v = np.asarray(v)
+            dims = []
+            for ax, nlen in enumerate(v.shape):
+                dname = f"{k}_d{ax}"
+                ds.createDimension(dname, nlen)
+                dims.append(dname)
+            var = ds.createVariable(k, "d", tuple(dims))
+            var[:] = v
+            if units and k in units:
+                var.units = units[k]
+        ds.close()
+        return
+    if filename.endswith(".nc"):
+        filename = filename[:-3] + ".npz"
+    np.savez(filename, **{k: np.asarray(v) for k, v in arrays.items()})
+
+
+# ---------------------------------------------------------------------------
+# EPH files: dynamical matrix + self-energies + friction matrices
+# ---------------------------------------------------------------------------
+@dataclass
+class EPHData:
+    """Container mirroring the reference's ``eph`` attribute bag
+    (myio.py:80-135)."""
+    filename: str = ""
+    wl: np.ndarray = None
+    hw: np.ndarray = None
+    U: np.ndarray = None
+    DynMat: np.ndarray = None
+    SigL: np.ndarray = None
+    SigR: np.ndarray = None
+    efric: np.ndarray = None
+    xim: np.ndarray = None
+    xip: np.ndarray = None
+    zeta1: Optional[np.ndarray] = None
+    zeta2: Optional[np.ndarray] = None
+
+
+def ReadEPHNCFile(filename) -> EPHData:
+    """Read dynamical matrix, lead self-energies and friction matrices
+    (myio.py:80-106)."""
+    v = _open_vars(filename)
+    return EPHData(
+        filename=filename, wl=v["Wlist"], hw=v["hw"], U=v["U"],
+        DynMat=v["DynMat"],
+        SigL=v["ReSigL"] + 1j * v["ImSigL"],
+        SigR=v["ReSigR"] + 1j * v["ImSigR"],
+        efric=v["Friction"], xim=v["NC"], xip=v["NCP"],
+    )
+
+
+def ReadNewEPHNCFile(filename) -> EPHData:
+    """As ReadEPHNCFile plus zeta1/zeta2 (myio.py:109-135)."""
+    eph = ReadEPHNCFile(filename)
+    v = _open_vars(filename)
+    eph.zeta1 = v["zeta1"]
+    eph.zeta2 = v["zeta2"]
+    return eph
+
+
+def WriteEPHNCfile(filename, wl, hw, U, DynMat, SigL, SigR, Friction,
+                   NC, NCP, zeta1, zeta2):
+    """Write the harmonic-analysis bundle (myio.py:138-171)."""
+    SigL = np.asarray(SigL)
+    SigR = np.asarray(SigR)
+    _write_vars(filename, {
+        "Wlist": wl, "hw": hw, "U": U, "DynMat": DynMat,
+        "ReSigL": SigL.real, "ImSigL": SigL.imag,
+        "ReSigR": SigR.real, "ImSigR": SigR.imag,
+        "Friction": Friction, "NC": NC, "NCP": NCP,
+        "zeta1": zeta1, "zeta2": zeta2,
+    }, units={"Wlist": "eV", "hw": "eV", "DynMat": "eV**2"})
+
+
+def ReadSig(filename) -> EPHData:
+    """Read just the lead self-energies (myio.py:300-316)."""
+    v = _open_vars(filename)
+    out = EPHData(filename=filename, wl=v["Wlist"])
+    out.SigL = v["ReSigL"] + 1j * v["ImSigL"]
+    out.SigR = v["ReSigR"] + 1j * v["ImSigR"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MD geometry files
+# ---------------------------------------------------------------------------
+@dataclass
+class MDGeometry:
+    filename: str = ""
+    cell: np.ndarray = None
+    xyz: np.ndarray = None
+    dynatom: np.ndarray = None
+    atomlist: np.ndarray = None
+
+
+def ReadMDNCFile(filename) -> MDGeometry:
+    """Read unit cell + geometry (myio.py:192-211)."""
+    v = _open_vars(filename)
+    return MDGeometry(filename=filename, cell=v["UnitCell"], xyz=v["XYZ"],
+                      dynatom=v["DynamicAtoms"], atomlist=v["AtomList"])
+
+
+def ord2idx(order):
+    """Atom order (1-based) -> DOF index list (myio.py:291-297)."""
+    order = np.asarray(order, dtype=np.int64)
+    return (3 * (order[:, None] - 1) + np.arange(3)[None, :]).reshape(-1)
+
+
+def reordxyz(anr, xyz, ord):
+    """Reorder an atom list block (myio.py:64-77)."""
+    old = sorted(ord)
+    nl = list(range(old[0] - 1)) + [i - 1 for i in ord] + \
+        list(range(old[-1], len(xyz)))
+    if len(nl) != len(anr):
+        raise ValueError("reordxyz: length error")
+    return [anr[i] for i in nl], [xyz[i] for i in nl]
+
+
+def ReadDynmat(filename, order=None):
+    """Phonon-run eigendata -> real-space dynamical matrix
+    (myio.py:214-253): D = U^T diag(hw^2) U, symmetrised; columns
+    reordered when ``order`` (1-based atom order) is given."""
+    v = _open_vars(filename)
+    hw = np.asarray(v["hw"])
+    fullU = np.asarray(v["U"])
+    nlen = len(fullU)
+    if "DynamicAtoms" in v:
+        dyn_atoms = np.asarray(v["DynamicAtoms"])
+        idF = int(dyn_atoms[0]) - 1
+        idL = int(dyn_atoms[-1])
+        U = np.zeros((nlen, nlen))
+        for ii in range(nlen):
+            U[ii] = np.asarray(fullU[ii][idF:idL]).flatten()
+    else:
+        U = fullU
+    if order is not None:
+        if 3 * len(order) != len(hw):
+            raise ValueError("ReadDynmat: length of order error")
+        idx = ord2idx(order)
+        U = U[:, idx]
+    dyn = U.T @ np.diag(hw ** 2) @ U
+    return 0.5 * (dyn + dyn.T), U, hw
+
+
+# ---------------------------------------------------------------------------
+# Lambda files: wideband current-induced-force matrices
+# ---------------------------------------------------------------------------
+def ReadwbLambda(filename, order=None):
+    """Wideband eta/xim/xip/zeta1/zeta2 matrices (myio.py:319-336);
+    bias is zero by construction for the wideband file."""
+    v = _open_vars(filename)
+    return (0.0, v["eta"], v["xim"], v["xip"], v["zeta1"], v["zeta2"])
+
+
+def ReadLambda(filename, w0, order=None):
+    """Extract the wideband matrices from a full Lambda(w) file at the
+    energy point nearest w0 (myio.py:339-366):
+
+        eta   = -sym(Im Pi^r)/w          zeta2 = -asym(Im Pi^r)/(w V)
+        xim   = -asym(Re Pi^r)/V         zeta1 =  sym(Re Pi^r)/V
+        xip   = -pi sym(Re Lam_LR)/w
+    """
+    v = _open_vars(filename)
+    wl = np.asarray(v["wl"])
+    mus = np.asarray(v["muLR"])
+    bias = float(mus[0] - mus[1])
+    idx = nearest(w0, wl)
+    w00 = float(wl[idx])
+
+    eta0 = np.asarray(v["ImPir2"][idx])
+    eta = -(eta0 + eta0.T) / 2 / w00
+    zeta2 = -(eta0 - eta0.T) / 2 / w00 / bias
+    xim0 = np.asarray(v["RePir2"][idx])
+    xim = -(xim0 - xim0.T) / 2 / bias
+    zeta1 = (xim0 + xim0.T) / 2 / bias
+    xip = np.asarray(v["ReLamLR"][idx])
+    xip = -np.pi * (xip + xip.T) / 2 / w00
+    return bias, eta, xim, xip, zeta1, zeta2
+
+
+def WriteLambda(filename, wl, muLR, ImPir2, RePir2, ReLamLR):
+    """Write a Lambda(w) bundle consumable by ReadLambda."""
+    _write_vars(filename, {"wl": wl, "muLR": muLR, "ImPir2": ImPir2,
+                           "RePir2": RePir2, "ReLamLR": ReLamLR})
+
+
+def WritewbLambda(filename, eta, xim, xip, zeta1, zeta2):
+    """Write the wideband matrices consumable by ReadwbLambda."""
+    _write_vars(filename, {"eta": eta, "xim": xim, "xip": xip,
+                           "zeta1": zeta1, "zeta2": zeta2})
