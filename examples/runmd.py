@@ -1,0 +1,71 @@
+"""GLE MD thermal conductance of a carbon junction (quantum baths).
+
+TPU-native counterpart of the reference workload
+/root/reference/examples/runmd.py: a C junction driven by a Tersoff
+bond-order potential (replacing LAMMPS REBO), two quantum electron-style
+wideband baths at T(1 +- delta/2), thermal conductance from the averaged
+bath heat currents. Everything inside one jitted scan per run.
+
+Run:  python examples/runmd.py [--quick]
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from sclmd_tpu import baths as B
+from sclmd_tpu.md import md
+from sclmd_tpu.models.tersoff import TersoffDriver, graphene_ribbon
+from sclmd_tpu.utils.tools import calHF, calTC
+
+from sclmd_tpu.utils.platform import select_platform
+
+select_platform()
+
+
+quick = "--quick" in sys.argv
+
+# --- geometry: armchair graphene ribbon junction -------------------------
+x = graphene_ribbon(6 if quick else 10, 3)
+axyz = [["C", *row] for row in x]
+drv = TersoffDriver(axyz, dtype=jnp.float32)
+na = drv.number
+print(f"junction: {na} atoms, Tersoff carbon")
+
+# --- MD setup (reference runmd.py:17-58) ---------------------------------
+T = 300.0
+delta = 0.1
+nstart, nstop = 0, 2 if quick else 3
+dt = 0.25 / 0.658               # 0.25 fs in natural time units
+nmd = 2 ** (10 if quick else 12)
+
+nlead = 3 * (na // 4)           # DOFs per lead
+fixdofs = list(range(0, 6)) + list(range(3 * na - 6, 3 * na))
+ecatsl = list(range(6, 6 + nlead))
+ecatsr = list(range(3 * na - 6 - nlead, 3 * na - 6))
+
+runner = md(dt, nmd, T, axyz=axyz, dyn=np.asarray(drv.dynmat()),
+            nstart=nstart, nstop=nstop, dtype=jnp.float32)
+runner.AddPotential(drv)
+
+damp = 100 / 0.658211814201041
+etal = (1.0 / damp) * np.identity(len(ecatsl))
+etar = (1.0 / damp) * np.identity(len(ecatsr))
+ebl = B.ebath(ecatsl, T * (1 + delta / 2), runner.dt, runner.nmd,
+              wmax=1.0, nw=500, bias=0.0, efric=etal)
+runner.AddBath(ebl)
+ebr = B.ebath(ecatsr, T * (1 - delta / 2), runner.dt, runner.nmd,
+              wmax=1.0, nw=500, bias=0.0, efric=etar)
+runner.AddBath(ebr)
+runner.AddConstr([fixdofs])
+
+t0 = time.time()
+runner.Run()
+print("MD wall time: %.1f s (%.0f steps/s)"
+      % (time.time() - t0, (nstop - nstart) * nmd / (time.time() - t0)))
+
+calHF()
+calTC(delta=delta, dlist=0)
+print(open(f"thermalconductance.{int(T)}.dat").read())
