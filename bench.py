@@ -87,11 +87,50 @@ def main():
 
     _, jl, jr, finite = out
     steps_per_sec = reps * nmd / (t1 - t0)
+
+    # --- secondary metric: batched trajectory ensemble ------------------
+    # (BASELINE.json config 5) — same workload, ntraj independent noise
+    # realisations vmapped into one program; kernel reads amortise
+    # across the batch on the MXU.
+    ntraj = 16
+    noiseL = np.stack([np.asarray(
+        pbl.gnoi_np(100 + i).noise) for i in range(ntraj)])
+    noiseR = np.stack([np.asarray(
+        pbr.gnoi_np(200 + i).noise) for i in range(ntraj)])
+
+    @jax.jit
+    def ens_run(dyn_a, mask_a, bl, br, nzL, nzR):
+        def one(nzl, nzr):
+            system = GLESystem(
+                dyn=dyn_a, baths=(bl.replace(noise=nzl),
+                                  br.replace(noise=nzr)),
+                mask=mask_a, dt=dt, nph=nph, ml=ml, nmd=nmd)
+            state = initial_state(system)
+            final, ys = run_segment(system, state, nmd, 0)
+            return jnp.mean(ys["cur"], axis=0), \
+                jnp.isfinite(ys["etot"]).all()
+        curs, fins = jax.vmap(one)(nzL, nzR)
+        return curs, fins.all()
+
+    bl0 = pbl.gnoi_np(0).replace(nevecs=None, nstd=None, noise=None)
+    br0 = pbr.gnoi_np(1).replace(nevecs=None, nstd=None, noise=None)
+    o = ens_run(dyn, mask, bl0, br0, noiseL, noiseR)
+    jax.block_until_ready(o)
+    t2 = time.perf_counter()
+    o = ens_run(dyn, mask, bl0, br0, noiseL, noiseR)
+    jax.block_until_ready(o)
+    t3 = time.perf_counter()
+    traj_steps_per_sec = ntraj * nmd / (t3 - t2)
+
     result = {
         "metric": "GLE steps/sec (100-atom junction, 1000-tap kernel)",
         "value": round(steps_per_sec, 1),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 1),
+        "ensemble_traj_steps_per_sec": round(traj_steps_per_sec, 1),
+        "ensemble_ntraj": ntraj,
+        "ensemble_vs_baseline": round(
+            traj_steps_per_sec / BASELINE_STEPS_PER_SEC, 1),
         "finite": bool(finite),
         "J_left": float(jl),
         "J_right": float(jr),

@@ -171,6 +171,23 @@ class EBath:
                   - self.bias * (self.zeta2 @ v)
         return f
 
+    # --- per-step interface shared with PhBath (vv_step fast path) ---
+    def step_plan(self, old_c):
+        return None
+
+    def _markov_force(self, noise_row, v_c, q_c):
+        f = noise_row - self.efric @ v_c
+        if self.bias_terms:
+            f = f + self.bias * ((self.exim - self.zeta1) @ q_c) \
+                  - self.bias * (self.zeta2 @ v_c)
+        return f
+
+    def force_pred(self, noise_row, v_c, q_c, old_c, plan):
+        return self._markov_force(noise_row, v_c, q_c)
+
+    def force_corr(self, noise_row, v_c, q_c, p_c, plan):
+        return self._markov_force(noise_row, v_c, q_c)
+
 
 def ebath(cats, T, dt, nmd, wmax=None, nw=None, bias=0.0,
           efric=None, exim=None, exip=None, zeta1=None, zeta2=None,
@@ -369,6 +386,44 @@ class PhBath:
         vflat = phis_c.reshape(self.ml * self.nc)
         conv = self.kernel_im @ vflat
         return f - conv * self.dt
+
+    # --- one-kernel-read-per-step fast path ------------------------------
+    # The velocity-Verlet step evaluates the bath force three times
+    # (md.py:390,401-403) with histories that share all but the newest
+    # one or two taps. The ml-tap convolution is HBM-bandwidth-bound by
+    # the kernel matrix, so reading it once per step instead of three
+    # times is ~3x: both shared tails
+    #   tail_pred = sum_{r>=2} K[r] old[r-1]   (+ K[1] old[0] added below)
+    #   tail_corr = sum_{r>=2} K[r] old[r-2]
+    # come out of ONE (nc, (ml-2) nc) @ ((ml-2) nc, 2) matmul.
+    def step_plan(self, old_c):
+        """Per-step shared tails from the pre-push history ring
+        ``old_c`` = state.phis[:, cids] (ml, nc). None when ml <= 2."""
+        if self.ml <= 2:
+            return None
+        nc = self.nc
+        B = jnp.stack([old_c[1:self.ml - 1], old_c[0:self.ml - 2]],
+                      axis=2)                         # (ml-2, nc, 2)
+        return self.kernel_im[:, 2 * nc:] @ B.reshape(
+            (self.ml - 2) * nc, 2)                    # (nc, 2)
+
+    def force_pred(self, noise_row, v_c, q_c, old_c, plan):
+        """Predictor bath force: history [v, old[0], old[1], ...]."""
+        if self.ml == 1:
+            return noise_row - self.kernel[0] @ v_c
+        conv = self.kernel[0] @ v_c + self.kernel[1] @ old_c[0]
+        if plan is not None:
+            conv = conv + plan[:, 0]
+        return noise_row - conv * self.dt
+
+    def force_corr(self, noise_row, v_c, q_c, p_c, plan):
+        """Corrector bath force: history [v, p, old[0], ...]."""
+        if self.ml == 1:
+            return noise_row - self.kernel[0] @ v_c
+        conv = self.kernel[0] @ v_c + self.kernel[1] @ p_c
+        if plan is not None:
+            conv = conv + plan[:, 1]
+        return noise_row - conv * self.dt
 
 
 def _kernel_im(kernel: jax.Array) -> jax.Array:

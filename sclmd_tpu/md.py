@@ -138,8 +138,23 @@ def vv_step(system: GLESystem, state: MDState, noise_rows=None):
     qhis = rpadleft(state.qhis, q)
     phis = rpadleft(state.phis, p)
 
+    # per-bath per-step precomputation: the memory-kernel tails shared
+    # by all three force evaluations are ONE matmul over the pre-push
+    # history (one kernel read per step instead of three — the
+    # convolution is HBM-bandwidth-bound by the kernel matrix)
+    gathers = []
+    for b in system.baths:
+        old_c = state.phis[: b.ml, b.cids]
+        gathers.append((old_c, b.step_plan(old_c)))
+
+    def scatter(b, f_local):
+        return jnp.zeros((system.nph,), f_local.dtype).at[b.cids] \
+            .set(f_local)
+
     pf = system.potential_force(q)
-    fbaths = [bforce(b, noise_rows[i][0], phis, qhis, system.nph)
+    fbaths = [scatter(b, b.force_pred(noise_rows[i][0], p[b.cids],
+                                      q[b.cids], gathers[i][0],
+                                      gathers[i][1]))
               for i, b in enumerate(system.baths)]
     f = pf
     for fb in fbaths:
@@ -153,14 +168,13 @@ def vv_step(system: GLESystem, state: MDState, noise_rows=None):
     # two corrector force evaluations with temporarily shifted history
     # (md.py:400-403, 429-431); potential force at qtt shared (sameq cache)
     pf2 = system.potential_force(qtt)
-    tqhis = rpadleft(qhis, qtt)
 
     def bath_sum(pt):
-        tphis = rpadleft(phis, pt)
         out = pf2
         for i, b in enumerate(system.baths):
-            out = out + bforce(b, noise_rows[i][1], tphis, tqhis,
-                               system.nph)
+            out = out + scatter(b, b.force_corr(
+                noise_rows[i][1], pt[b.cids], qtt[b.cids], p[b.cids],
+                gathers[i][1]))
         return out
 
     ptt1 = pthalf + (dt / 2.0) * bath_sum(pthalf)

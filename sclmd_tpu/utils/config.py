@@ -1,0 +1,154 @@
+"""Typed configuration layer.
+
+The reference has no config system — every run is constructor kwargs
+scattered through user scripts (SURVEY.md section 5: lambda.py uses a
+class of module-level toggles + positional sys.argv). Here a run is a
+validated dataclass tree that can be loaded from / saved to JSON, and
+assembled into a ready-to-run ``md`` instance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+
+def _check(cond, msg):
+    if not cond:
+        raise ValueError(msg)
+
+
+@dataclass
+class BathConfig:
+    """One bath attachment. kind: 'electron' | 'phonon'."""
+    kind: str
+    cats: Sequence[int]
+    T: float
+    # electron-bath params
+    wmax: Optional[float] = None
+    nw: Optional[int] = None
+    bias: float = 0.0
+    efric_scale: Optional[float] = None    # scalar friction eta*I
+    matrices_file: Optional[str] = None    # wbLambda bundle for eta/xim/...
+    # phonon-bath params
+    debye: Optional[float] = None
+    ml: Optional[int] = None
+    mcof: float = 2.0
+    gamma_file: Optional[str] = None
+    classical: bool = False
+    zpmotion: bool = True
+
+    def validate(self):
+        _check(self.kind in ("electron", "phonon"),
+               f"bath kind must be electron|phonon, got {self.kind}")
+        _check(len(self.cats) > 0, "bath needs at least one DOF")
+        _check(self.T >= 0, "temperature must be >= 0")
+        if self.kind == "electron":
+            _check(self.efric_scale is not None
+                   or self.matrices_file is not None,
+                   "electron bath needs efric_scale or matrices_file")
+        else:
+            _check(self.debye is not None or self.gamma_file is not None,
+                   "phonon bath needs debye frequency or gamma_file")
+        return self
+
+
+@dataclass
+class MDConfig:
+    """Top-level GLE MD run configuration."""
+    dt: float
+    nmd: int
+    T: float
+    nstart: int = 0
+    nstop: int = 1
+    npie: int = 1
+    seed: int = 1234
+    dtype: str = "float32"
+    driver: str = "harmonic"         # harmonic|tersoff|nnp|native
+    constraints: Sequence[Sequence[int]] = field(default_factory=list)
+    baths: Sequence[BathConfig] = field(default_factory=list)
+    save_power: bool = False
+    save_traj: Optional[int] = None
+    outdir: str = "."
+
+    def validate(self):
+        _check(self.dt > 0, "dt must be positive")
+        _check(self.nmd > 0 and self.nmd % self.npie == 0,
+               "nmd must be positive and divisible by npie")
+        _check(self.nstop > self.nstart, "nstop must exceed nstart")
+        _check(self.dtype in ("float32", "float64"),
+               f"unsupported dtype {self.dtype}")
+        for b in self.baths:
+            b.validate()
+        return self
+
+    # --- (de)serialisation -------------------------------------------------
+    def to_json(self, path=None) -> str:
+        s = json.dumps(dataclasses.asdict(self), indent=2, default=list)
+        if path:
+            with open(path, "w") as fh:
+                fh.write(s)
+        return s
+
+    @classmethod
+    def from_json(cls, src: str) -> "MDConfig":
+        if src.strip().startswith("{"):
+            d = json.loads(src)
+        else:
+            with open(src) as fh:
+                d = json.load(fh)
+        baths = [BathConfig(**b) for b in d.pop("baths", [])]
+        return cls(baths=baths, **d).validate()
+
+    # --- assembly ----------------------------------------------------------
+    def build(self, axyz=None, dyn=None, driver_obj=None):
+        """Assemble a ready md runner (+ attached baths/driver)."""
+        import numpy as np
+        import jax.numpy as jnp
+        from sclmd_tpu import baths as B
+        from sclmd_tpu.md import md
+        from sclmd_tpu.utils.io import ReadwbLambda
+
+        self.validate()
+        dtype = jnp.float64 if self.dtype == "float64" else jnp.float32
+        runner = md(self.dt, self.nmd, self.T, axyz=axyz, dyn=dyn,
+                    nstart=self.nstart, nstop=self.nstop, npie=self.npie,
+                    dtype=dtype, seed=self.seed, outdir=self.outdir)
+        if driver_obj is not None:
+            runner.AddPotential(driver_obj)
+        for bc in self.baths:
+            nc = len(bc.cats)
+            if bc.kind == "electron":
+                kw = {}
+                if bc.matrices_file:
+                    _, eta, xim, xip, z1, z2 = ReadwbLambda(
+                        bc.matrices_file)
+                    kw = dict(efric=eta, exim=xim, exip=xip,
+                              zeta1=z1, zeta2=z2)
+                else:
+                    kw = dict(efric=np.eye(nc) * bc.efric_scale)
+                bath = B.ebath(bc.cats, bc.T, self.dt, self.nmd,
+                               wmax=bc.wmax, nw=bc.nw, bias=bc.bias,
+                               classical=bc.classical,
+                               zpmotion=bc.zpmotion, dtype=dtype, **kw)
+            else:
+                kw = {}
+                if bc.gamma_file:
+                    import numpy as _np
+                    data = _np.load(bc.gamma_file)
+                    kw = dict(gamma=data["gamma"], gwl=data["gwl"])
+                bath = B.phbath(bc.T, bc.cats, bc.debye or 0.1,
+                                bc.nw or 100, self.dt, self.nmd,
+                                ml=bc.ml, mcof=bc.mcof,
+                                classical=bc.classical,
+                                zpmotion=bc.zpmotion, dtype=dtype, **kw)
+            runner.AddBath(bath)
+        if self.constraints:
+            runner.AddConstr([list(c) for c in self.constraints])
+        if self.save_power:
+            runner.CalPowerSpec()
+        if self.save_traj:
+            runner.SaveTraj(self.save_traj)
+        return runner
