@@ -55,7 +55,14 @@ static bool write_exact(int fd, const void* buf, size_t n) {
   return true;
 }
 
+static int serve(int in_fd, int out_fd);
+
 int main(int argc, char** argv) {
+  // pipe mode: speak the protocol over stdin/stdout (the reference's
+  // pysiesta "pipes" build variant, pysiesta/Makefile:48-56)
+  if (argc > 1 && strcmp(argv[1], "--stdio") == 0) {
+    return serve(0, 1);
+  }
   int port = argc > 1 ? atoi(argv[1]) : 10001;
 
   int srv = socket(AF_INET, SOCK_STREAM, 0);
@@ -77,24 +84,31 @@ int main(int argc, char** argv) {
     perror("accept");
     return 1;
   }
+  int rc = serve(fd, fd);
+  close(fd);
+  close(srv);
+  fprintf(stderr, "force_server: bye\n");
+  return rc;
+}
 
+static int serve(int in_fd, int out_fd) {
   void* engine = nullptr;
   int natoms = 0;
   std::vector<double> x, f;
 
   char cmd;
-  while (read_exact(fd, &cmd, 1)) {
+  while (read_exact(in_fd, &cmd, 1)) {
     if (cmd == 'I') {
       int32_t na = 0;
-      if (!read_exact(fd, &na, 4)) break;
+      if (!read_exact(in_fd, &na, 4)) break;
       natoms = na;
       std::vector<double> x0(3 * natoms), cell(3);
-      if (!read_exact(fd, x0.data(), 8 * x0.size())) break;
-      if (!read_exact(fd, cell.data(), 24)) break;
+      if (!read_exact(in_fd, x0.data(), 8 * x0.size())) break;
+      if (!read_exact(in_fd, cell.data(), 24)) break;
       int32_t which = 0;
       double params[4];
-      if (!read_exact(fd, &which, 4)) break;
-      if (!read_exact(fd, params, 32)) break;
+      if (!read_exact(in_fd, &which, 4)) break;
+      if (!read_exact(in_fd, params, 32)) break;
       if (engine) sclmd_engine_destroy(engine);
       engine = sclmd_engine_create(natoms, x0.data(), cell.data());
       if (which == 1)
@@ -105,19 +119,16 @@ int main(int argc, char** argv) {
       x.resize(3 * natoms);
       f.resize(3 * natoms);
       int32_t ack = np;
-      write_exact(fd, &ack, 4);
+      write_exact(out_fd, &ack, 4);
     } else if (cmd == 'F') {
-      if (!engine || !read_exact(fd, x.data(), 8 * x.size())) break;
+      if (!engine || !read_exact(in_fd, x.data(), 8 * x.size())) break;
       double energy = sclmd_forces(engine, x.data(), f.data());
-      write_exact(fd, &energy, 8);
-      write_exact(fd, f.data(), 8 * f.size());
+      write_exact(out_fd, &energy, 8);
+      write_exact(out_fd, f.data(), 8 * f.size());
     } else if (cmd == 'Q') {
       break;
     }
   }
   if (engine) sclmd_engine_destroy(engine);
-  close(fd);
-  close(srv);
-  fprintf(stderr, "force_server: bye\n");
   return 0;
 }

@@ -267,6 +267,64 @@ class SocketDriver:
             pass
 
 
+class PipeDriver(SocketDriver):
+    """Pipe-transport variant of SocketDriver: the same binary protocol
+    over the server's stdin/stdout (the reference's pysiesta "pipes"
+    build, pysiesta/Makefile:48-56)."""
+
+    def __init__(self, axyz, potential, cell=None, server_cmd=None,
+                 md2ang=U.MD2ANG, **_):
+        self.axyz = axyz
+        self.els = [a[0] for a in axyz]
+        self.number = len(axyz)
+        self.xyz = np.array([a[1:] for a in axyz],
+                            dtype=np.float64).flatten()
+        mass = np.array([U.AtomicMassTable[e] for e in self.els])
+        self.conv = md2ang * np.repeat(1.0 / np.sqrt(mass), 3)
+        cmd = server_cmd or [build_server(), "--stdio"]
+        self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
+                                     stdout=subprocess.PIPE,
+                                     stderr=subprocess.DEVNULL)
+        self.sock = None
+        kind = potential[0]
+        which = 1 if kind == "lj" else 2
+        params = list(potential[1:]) + [0.0] * (4 - len(potential[1:]))
+        cellv = np.zeros(3) if cell is None else np.asarray(cell, float)
+        msg = b"I" + struct.pack("<i", self.number) \
+            + self.xyz.astype("<f8").tobytes() \
+            + cellv.astype("<f8").tobytes() \
+            + struct.pack("<i", which) \
+            + np.asarray(params, "<f8").tobytes()
+        self.proc.stdin.write(msg)
+        self.proc.stdin.flush()
+        (self.npairs,) = struct.unpack("<i", self._recv(4))
+        self.initforce()
+
+    def _recv(self, n):
+        buf = self.proc.stdout.read(n)
+        if buf is None or len(buf) < n:
+            raise ConnectionError("force_server pipe closed")
+        return buf
+
+    def absforce(self, q):
+        x = self.xyz + self.conv * np.asarray(q, np.float64)
+        self.proc.stdin.write(b"F" + x.astype("<f8").tobytes())
+        self.proc.stdin.flush()
+        (self._e,) = struct.unpack("<d", self._recv(8))
+        f = np.frombuffer(self._recv(8 * 3 * self.number), "<f8")
+        return self.conv * f
+
+    def quit(self):
+        if self.proc is not None:
+            try:
+                self.proc.stdin.write(b"Q")
+                self.proc.stdin.flush()
+            except Exception:
+                pass
+            self.proc.wait(timeout=5)
+            self.proc = None
+
+
 class SiestaDriver:
     """Siesta DFT escape hatch: fdf generation + external-process force
     protocol (siestadriver.py:55-155). Running it requires a ``siesta``

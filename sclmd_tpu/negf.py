@@ -340,7 +340,59 @@ class bpt:
         return self.psnumber
 
     # ------------------------------------------------------------------
-    def write_v_sim(self, filename="anime.ascii"):
+    # Lesser/greater Green's-function heat currents. The reference only
+    # carries this as a commented-out draft (negf.py:314-379); here it is
+    # implemented and validated: the Meir-Wingreen-type lead current
+    #   J_L = int dw/2pi hbar w Tr[Sig<_L G> - Sig>_L G<]
+    # reduces analytically (and in tests numerically) to the Landauer
+    # integral for elastic transport.
+    def lessselfenergy(self, omega, Tl, sel):
+        """Sig< = +i Gamma n_B on the selected DOFs (diagonal)."""
+        gam = jnp.zeros((self.nd,), jnp.complex128).at[sel].set(
+            2.0 * omega / self.damp)
+        return 1j * gam * self.bosedist(omega, Tl)
+
+    def greatselfenergy(self, omega, Tl, sel):
+        """Sig> = -i Gamma (n_B + 1) on the selected DOFs (diagonal)."""
+        gam = jnp.zeros((self.nd,), jnp.complex128).at[sel].set(
+            2.0 * omega / self.damp)
+        return -1j * gam * (self.bosedist(omega, Tl) + 1.0)
+
+    def leadthermalcurrent(self, TL, TR, lead="L", num=None):
+        """Heat current out of one lead via G lesser/greater (nW).
+
+        Both leads may sit at different temperatures; for this elastic
+        model the result equals ``thermalcurrent`` evaluated with the
+        same temperatures.
+        """
+        num = num or self.intnum
+        ws = np.linspace(0, self.maxomega, num + 1)[1:]
+        selL = jnp.asarray(self._bathsel(self.dofatomofbath[0]))
+        selR = jnp.asarray(self._bathsel(self.dofatomofbath[1]))
+        sel_lead = selL if lead == "L" else selR
+        T_lead = TL if lead == "L" else TR
+
+        def one(w):
+            a = self._amatrix(w[None])[0]
+            g = jnp.linalg.inv(a)
+            gd = jnp.conjugate(g.T)
+            sl_less = self.lessselfenergy(w, TL, selL) + \
+                self.lessselfenergy(w, TR, selR)
+            sl_great = self.greatselfenergy(w, TL, selL) + \
+                self.greatselfenergy(w, TR, selR)
+            g_less = g * sl_less[None, :] @ gd
+            g_great = g * sl_great[None, :] @ gd
+            s_less = self.lessselfenergy(w, T_lead, sel_lead)
+            s_great = self.greatselfenergy(w, T_lead, sel_lead)
+            # Tr[diag(s<) G> - diag(s>) G<]
+            val = jnp.sum(s_less * jnp.diagonal(g_great)) - \
+                jnp.sum(s_great * jnp.diagonal(g_less))
+            return jnp.real(val)
+
+        integrand = np.asarray(jax.lax.map(jax.jit(one), jnp.asarray(ws),
+                                           batch_size=self.batch_size))
+        f = self.rpc * ws / (2 * np.pi) * integrand
+        return float(np.trapezoid(f, ws)) * 1.60217662e2
         """v_sim phonon-mode file (negf.py:279-298)."""
         if self.els is None or self.xyz is None or self.boxhi is None:
             raise ValueError("write_v_sim needs els/xyz/box metadata")

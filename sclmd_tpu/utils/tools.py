@@ -201,6 +201,57 @@ def dumpdisp(refpositions, trajectoriesfiles, index=(1,),
     return out
 
 
+def prepare_nnp_data(driver, nframes=64, amplitude=0.05, seed=0,
+                     outfile=None, workdir="."):
+    """Build an NNP training set {x, e, f} by perturbing a driver's
+    reference geometry — the counterpart of the reference's DeepMD data
+    prep ``predeepmd`` (tools.py:262-276), but producing this
+    framework's native npz dataset for models.nnp.DeepPotSE.fit.
+
+    ``driver`` follows the force-driver protocol (.xyz, .conv,
+    .absforce, .energy).
+    """
+    rng = np.random.default_rng(seed)
+    na = driver.number
+    xs, es, fs = [], [], []
+    for _ in range(nframes):
+        q = rng.normal(size=3 * na) * amplitude / np.maximum(
+            driver.conv, 1e-12)
+        x = driver.xyz + driver.conv * q
+        f_abs = np.asarray(driver.absforce(q)) / driver.conv
+        xs.append(x.reshape(na, 3))
+        es.append(float(driver.energy(q)))
+        fs.append(f_abs.reshape(na, 3))
+    data = {"x": np.array(xs), "e": np.array(es), "f": np.array(fs)}
+    if outfile:
+        np.savez(os.path.join(workdir, outfile), **data)
+    return data
+
+
+def visualtrain(infile, outfile="lcurve.png", workdir="."):
+    """Plot training loss curves from a whitespace table with named
+    columns (tools.py:278-295); matplotlib gated."""
+    data = np.genfromtxt(os.path.join(workdir, infile), names=True)
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception as exc:  # pragma: no cover
+        raise ImportError("visualtrain needs matplotlib") from exc
+    for name in data.dtype.names[1:]:
+        plt.plot(data[data.dtype.names[0]], data[name], label=name)
+    plt.legend()
+    plt.xlabel("Step")
+    plt.ylabel("Loss")
+    plt.xscale("symlog")
+    plt.yscale("symlog")
+    plt.grid()
+    path = os.path.join(workdir, outfile)
+    plt.savefig(path)
+    plt.close()
+    return path
+
+
 def dumpke(timestep, trajectoriesfiles, atommass, workdir="."):
     """Kinetic-energy distribution from finite-difference velocities
     (tools.py:102-130). timestep in fs; positions in angstrom."""

@@ -132,3 +132,19 @@ class TestSiestaShell:
         if shutil.which("siesta") is None:
             with pytest.raises(RuntimeError):
                 drv.start()
+
+
+class TestPipeDriver:
+    def test_pipe_matches_native(self, lib, rng):
+        axyz = _chain_axyz()
+        pot = ("morse", 2.0, 1.8, 1.5, 4.0)
+        nd = NV.NativeDriver(axyz, pot)
+        pd = NV.PipeDriver(axyz, pot)
+        try:
+            assert pd.npairs == nd.npairs
+            q = rng.normal(size=18) * 0.1
+            np.testing.assert_allclose(np.asarray(pd.force(q)),
+                                       np.asarray(nd.force(q)),
+                                       rtol=1e-12)
+        finally:
+            pd.quit()

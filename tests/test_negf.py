@@ -210,3 +210,43 @@ class TestBPT:
                   dofatomofbias=[2, 3])
         ps = b.getps(300.0, 0.6, 15)
         assert np.isfinite(ps[:, 1]).all()
+
+
+class TestLesserGreater:
+    def test_meir_wingreen_equals_landauer(self):
+        """Lead heat current from G lesser/greater == Landauer integral
+        (working version of the reference's commented draft,
+        negf.py:314-379)."""
+        k, damp = 0.1, 20.0
+        n = 10
+        d = np.zeros((n, n))
+        for i in range(n - 1):
+            d[i, i] += k; d[i + 1, i + 1] += k
+            d[i, i + 1] -= k; d[i + 1, i] -= k
+        d = d / U.RPC ** 2
+        b = bpt(d, 0.7, damp, [[0, 1], [8, 9]], num=400)
+        T, delta = 300.0, 0.2
+        TL, TR = T * (1 + delta / 2), T * (1 - delta / 2)
+        # Landauer on the same omega grid the MW integral uses
+        ws = np.linspace(0, b.maxomega, b.intnum + 1)[1:]
+        tm = np.asarray(b._tm_batch(jnp.asarray(ws)))
+        occ = np.asarray(b.bosedist(ws, TL)) - np.asarray(
+            b.bosedist(ws, TR))
+        j_landauer = float(np.trapezoid(
+            b.rpc * ws / (2 * np.pi) * tm * occ, ws)) * 1.60217662e2
+        j_mw_L = b.leadthermalcurrent(TL, TR, lead="L")
+        j_mw_R = b.leadthermalcurrent(TL, TR, lead="R")
+        np.testing.assert_allclose(j_mw_L, j_landauer, rtol=1e-8)
+        # energy conservation: right lead absorbs what left emits
+        np.testing.assert_allclose(j_mw_R, -j_mw_L, rtol=1e-6)
+
+    def test_equilibrium_current_vanishes(self):
+        k, damp = 0.1, 20.0
+        n = 8
+        d = np.zeros((n, n))
+        for i in range(n - 1):
+            d[i, i] += k; d[i + 1, i + 1] += k
+            d[i, i + 1] -= k; d[i + 1, i] -= k
+        b = bpt(d / U.RPC ** 2, 0.7, damp, [[0], [7]], num=100)
+        j = b.leadthermalcurrent(300.0, 300.0, lead="L")
+        assert abs(j) < 1e-10

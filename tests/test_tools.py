@@ -95,3 +95,32 @@ class TestAniAnalytics:
         T.avdf(["deltaforce.run0.npy"], workdir=str(tmp_path))
         mean = np.loadtxt(tmp_path / "deltaforce-mean0.dat")
         np.testing.assert_allclose(mean, d.mean(axis=0), rtol=1e-6)
+
+
+class TestNNPDataPrep:
+    def test_prepare_nnp_data(self, tmp_path):
+        import jax.numpy as jnp
+        from sclmd_tpu.models.harmonic import chain_dynmat
+        from sclmd_tpu.models.driver import JaxDriver
+        from sclmd_tpu.models import pair as P
+
+        axyz = [["C", 1.5 * i, 0.0, 0.0] for i in range(4)]
+        x0 = np.array([a[1:] for a in axyz])
+        pairs = P.neighbor_pairs(x0, 4.0)
+        efn = P.morse_energy(2.0, 1.8, 1.5, 4.0, pairs)
+        drv = JaxDriver(efn, axyz, dtype=jnp.float64)
+        data = T.prepare_nnp_data(drv, nframes=8, outfile="train.npz",
+                                  workdir=str(tmp_path))
+        assert data["x"].shape == (8, 4, 3)
+        assert data["f"].shape == (8, 4, 3)
+        assert np.isfinite(data["e"]).all()
+        loaded = np.load(tmp_path / "train.npz")
+        np.testing.assert_allclose(loaded["e"], data["e"])
+
+    def test_visualtrain(self, tmp_path):
+        pytest.importorskip("matplotlib")
+        p = tmp_path / "lcurve.out"
+        p.write_text("step loss_e loss_f\n0 1.0 2.0\n10 0.5 1.0\n")
+        out = T.visualtrain("lcurve.out", workdir=str(tmp_path))
+        import os
+        assert os.path.exists(out)
