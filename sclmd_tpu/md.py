@@ -58,7 +58,10 @@ class MDState:
     p: jax.Array        # (nph,) velocity (mass-weighted natural units)
     q: jax.Array        # (nph,) displacement
     phis: jax.Array     # (ml, nph) newest-first velocity history ring
-    qhis: jax.Array     # (ml, nph) newest-first displacement history ring
+    qhis: jax.Array     # (1, nph) newest displacement (only row 0 is ever
+    #                     read: the ebath bias terms, baths.py:246-248 —
+    #                     carrying a full (ml, nph) ring would be pure
+    #                     copy traffic)
 
 
 @struct.dataclass
@@ -94,8 +97,9 @@ def initial_state(system: GLESystem, dtype=None) -> MDState:
     dtype = dtype or (system.dyn.dtype if system.dyn is not None
                       else jnp.float32)
     z = jnp.zeros((nph,), dtype)
-    h = jnp.zeros((ml, nph), dtype)
-    return MDState(t=jnp.asarray(0, jnp.int32), p=z, q=z, phis=h, qhis=h)
+    return MDState(t=jnp.asarray(0, jnp.int32), p=z, q=z,
+                   phis=jnp.zeros((ml, nph), dtype),
+                   qhis=jnp.zeros((1, nph), dtype))
 
 
 def thermal_init(key: jax.Array, system: GLESystem, hw: jax.Array,

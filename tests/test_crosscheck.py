@@ -135,3 +135,44 @@ def test_classical_limit_conductance(key):
 
     assert abs(j_md - j_cl) < max(3 * j_err, 0.15 * j_cl), (
         j_md, j_err, j_cl)
+
+
+@pytest.mark.slow
+def test_phonon_bath_conductance_matches_negf(key):
+    """Debye PHONON baths (wideband Gamma = w_D pi/6) reproduce the
+    Landauer current — end-to-end validation of the phbath path."""
+    nph, k_spring = 8, 0.04
+    dt, nmd = 0.25 / 0.658, 2 ** 14
+    T, delta = 300.0, 0.5
+    TL, TR = T * (1 + delta / 2), T * (1 - delta / 2)
+    debye = 0.05
+    gam = debye * np.pi / 6.0
+
+    dyn = np.asarray(chain_dynmat(nph, k_spring))
+    bathL, bathR = [0], [nph - 1]
+    nens = 8
+    keys = jax.random.split(key, (nens, 2))
+
+    def one(ks):
+        pbl = B.phbath(TL, bathL, debye, 200, dt, nmd,
+                       dtype=jnp.float64).gnoi(ks[0])
+        pbr = B.phbath(TR, bathR, debye, 200, dt, nmd,
+                       dtype=jnp.float64).gnoi(ks[1])
+        sysb = make_system(dyn, [pbl, pbr], dt, nmd)
+        _, ys = run_segment(sysb, initial_state(sysb, dtype=jnp.float64),
+                            nmd)
+        cur = ys["cur"][nmd // 4:]
+        return jnp.mean(cur[:, 0]), jnp.mean(cur[:, 1])
+
+    jl, jr = jax.vmap(one)(keys)
+    j_md = float(jnp.mean((jl - jr) / 2))
+    j_err = float(jnp.std((jl - jr) / 2) / np.sqrt(nens))
+
+    # NEGF with the same wideband coupling and the phonon-bath cutoff
+    # wmax = 2*debye entering through the noise spectrum only; the
+    # friction is constant, so the Caroli T(w) uses gamma = w_D pi/6
+    j_negf = negf_current_natural(dyn, gam, bathL, bathR, TL, TR,
+                                  wmax=2 * debye)
+    assert j_negf > 0
+    assert abs(j_md - j_negf) < max(3 * j_err, 0.2 * j_negf), (
+        j_md, j_err, j_negf)
