@@ -92,7 +92,7 @@ def main():
     # (BASELINE.json config 5) — same workload, ntraj independent noise
     # realisations vmapped into one program; kernel reads amortise
     # across the batch on the MXU.
-    ntraj = 16
+    ntraj = 32
     noiseL = np.stack([np.asarray(
         pbl.gnoi_np(100 + i).noise) for i in range(ntraj)])
     noiseR = np.stack([np.asarray(

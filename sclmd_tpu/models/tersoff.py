@@ -36,7 +36,112 @@ TERSOFF_PARAMS = {
     "Si": dict(A=1830.8, B=471.18, lam1=2.4799, lam2=1.7322, lam3=0.0,
                beta=1.1e-6, n=0.78734, c=100390.0, d=16.217,
                h=-0.59825, R=2.85, D=0.15, gamma=1.0, m=3.0),
+    "Ge": dict(A=1769.0, B=419.23, lam1=2.4451, lam2=1.7047, lam3=0.0,
+               beta=9.0166e-7, n=0.75627, c=106430.0, d=15.652,
+               h=-0.43884, R=2.95, D=0.15, gamma=1.0, m=3.0),
 }
+
+# inter-element bond-strength correction chi_ij (Tersoff PRB 39, 5566)
+TERSOFF_CHI = {("Si", "C"): 0.9776, ("Si", "Ge"): 1.00061,
+               ("C", "Ge"): 1.0}
+
+
+def _chi(e1, e2):
+    if e1 == e2:
+        return 1.0
+    return TERSOFF_CHI.get((e1, e2), TERSOFF_CHI.get((e2, e1), 1.0))
+
+
+def tersoff_energy_multi(elements, neighbors, nmask,
+                         cell: Optional[np.ndarray] = None,
+                         params: Optional[dict] = None):
+    """Multi-element Tersoff with the 1989 mixing rules.
+
+    elements: per-atom element symbols. Pair quantities use
+    lam_ij = (lam_i + lam_j)/2, A_ij = sqrt(A_i A_j),
+    B_ij = chi_ij sqrt(B_i B_j), R_ij = sqrt(R_i R_j),
+    D_ij = sqrt(D_i D_j); the bond-order parameters (beta, n, c, d, h)
+    are those of the CENTER atom i. Same static-shape padded-tensor
+    scheme as the single-element kernel.
+    """
+    table = params or TERSOFF_PARAMS
+    els = list(elements)
+    na = len(els)
+    nbr = np.asarray(neighbors)
+    mask = np.asarray(nmask)
+    cell_j = None if cell is None else jnp.asarray(cell)
+
+    def per_atom(key):
+        return np.array([table[e][key] for e in els])
+
+    def per_pair(fn):
+        out = np.zeros(nbr.shape)
+        for i in range(na):
+            for jn in range(nbr.shape[1]):
+                out[i, jn] = fn(els[i], els[nbr[i, jn]])
+        return out
+
+    def mix_avg(key):
+        return per_pair(lambda a, b: 0.5 * (table[a][key] + table[b][key]))
+
+    def mix_sqrt(key):
+        return per_pair(lambda a, b: np.sqrt(table[a][key] * table[b][key]))
+
+    A_ij = jnp.asarray(per_pair(
+        lambda a, b: _chi(a, b) ** 0 * np.sqrt(table[a]["A"] * table[b]["A"])))
+    B_ij = jnp.asarray(per_pair(
+        lambda a, b: _chi(a, b) * np.sqrt(table[a]["B"] * table[b]["B"])))
+    l1_ij = jnp.asarray(mix_avg("lam1"))
+    l2_ij = jnp.asarray(mix_avg("lam2"))
+    R_ij = jnp.asarray(mix_sqrt("R"))
+    D_ij = jnp.asarray(mix_sqrt("D"))
+    # center-atom angular/bond-order params, broadcast over neighbors
+    beta_i = jnp.asarray(per_atom("beta"))[:, None]
+    n_i = jnp.asarray(per_atom("n"))[:, None]
+    c_i = jnp.asarray(per_atom("c"))[:, None, None]
+    d_i = jnp.asarray(per_atom("d"))[:, None, None]
+    h_i = jnp.asarray(per_atom("h"))[:, None, None]
+    gamma_i = jnp.asarray(per_atom("gamma"))[:, None, None]
+    # cutoff of the i-k leg inside zeta uses R_ik of the (i, k) pair
+    nbr_j = jnp.asarray(nbr)
+    mask_j = jnp.asarray(mask)
+
+    def fc(r, R, D):
+        inner = r < R - D
+        outer = r > R + D
+        mid = 0.5 - 0.5 * jnp.sin(0.5 * jnp.pi * (r - R) / D)
+        return jnp.where(inner, 1.0, jnp.where(outer, 0.0, mid))
+
+    def energy(x):
+        x = jnp.asarray(x)
+        xi = x[:, None, :]
+        xj = x[nbr_j]
+        dij = xj - xi
+        if cell_j is not None:
+            dij = dij - jnp.round(dij / cell_j) * cell_j
+        r2 = jnp.sum(dij * dij, axis=-1)
+        rij = jnp.sqrt(jnp.where(mask_j, r2, 1.0))
+        fcij = jnp.where(mask_j, fc(rij, R_ij, D_ij), 0.0)
+
+        rhat = dij / rij[..., None]
+        cos_ijk = jnp.einsum("ija,ika->ijk", rhat, rhat)
+        g = gamma_i * (1.0 + c_i ** 2 / d_i ** 2
+                       - c_i ** 2 / (d_i ** 2 + (h_i - cos_ijk) ** 2))
+        fck = fcij[:, None, :]
+        notself = ~jnp.eye(nbr_j.shape[1], dtype=bool)[None]
+        zeta = jnp.sum(jnp.where(notself, fck * g, 0.0), axis=-1)
+
+        bz = beta_i * zeta
+        bz_safe = jnp.where(bz > 0, bz, 1.0)
+        bterm = jnp.where(bz > 0, bz_safe ** n_i, 0.0)
+        bij = (1.0 + bterm) ** (-1.0 / (2.0 * n_i))
+
+        fR = A_ij * jnp.exp(-l1_ij * rij)
+        fA = -B_ij * jnp.exp(-l2_ij * rij)
+        e_pair = fcij * (fR + bij * fA)
+        return 0.5 * jnp.sum(jnp.where(mask_j, e_pair, 0.0))
+
+    return energy
 
 
 def tersoff_energy(element: str, neighbors, nmask,
@@ -130,17 +235,30 @@ class TersoffDriver:
                  element=None, dtype=jnp.float64, params=None):
         from sclmd_tpu.models.driver import JaxDriver
         from sclmd_tpu.models.nnp import build_neighbors
-        els = {a[0] for a in axyz}
-        element = element or next(iter(els))
-        if len(els) > 1:
-            raise NotImplementedError(
-                "single-element Tersoff only; multi-element mixing rules "
-                "are a planned extension")
+        els = [a[0] for a in axyz]
+        uniq = sorted(set(els))
         x0 = np.array([a[1:] for a in axyz], dtype=float)
-        pcut = (params or TERSOFF_PARAMS[element])
-        nbr, mask = build_neighbors(x0, pcut["R"] + pcut["D"],
-                                    max_nnei, cell=cell, skin=cutoff_skin)
-        efn = tersoff_energy(element, nbr, mask, cell=cell, params=params)
+        table = params or TERSOFF_PARAMS
+        if len(uniq) == 1:
+            element = element or uniq[0]
+            pcut = table[element] if element in table else table
+            nbr, mask = build_neighbors(x0, pcut["R"] + pcut["D"],
+                                        max_nnei, cell=cell,
+                                        skin=cutoff_skin)
+            efn = tersoff_energy(element, nbr, mask, cell=cell,
+                                 params=None if params is None
+                                 else pcut)
+        else:
+            missing = [e for e in uniq if e not in table]
+            if missing:
+                raise NotImplementedError(
+                    f"no Tersoff parameters for elements {missing}; "
+                    "supply params=")
+            rcut = max(table[e]["R"] + table[e]["D"] for e in uniq)
+            nbr, mask = build_neighbors(x0, rcut, max_nnei, cell=cell,
+                                        skin=cutoff_skin)
+            efn = tersoff_energy_multi(els, nbr, mask, cell=cell,
+                                       params=table)
         self._drv = JaxDriver(efn, axyz, dtype=dtype)
         self.energy_fn = efn
         for attr in ("axyz", "conv", "xyz", "els", "number", "f0"):

@@ -105,6 +105,47 @@ class TestDriver:
         assert np.isfinite(np.asarray(final.p)).all()
         assert np.abs(np.asarray(final.q)).max() < 10.0
 
-    def test_multi_element_rejected(self):
+    def test_multi_element_unparametrized_rejected(self):
         with pytest.raises(NotImplementedError):
             TersoffDriver([["C", 0, 0, 0], ["H", 1, 0, 0]])
+
+
+class TestMultiElement:
+    def test_sic_mixing_reduces_to_single_for_pure(self, rng):
+        """Multi-element kernel == single-element kernel on pure Si."""
+        from sclmd_tpu.models.nnp import build_neighbors
+        from sclmd_tpu.models.tersoff import (tersoff_energy,
+                                              tersoff_energy_multi)
+        x = np.array([[0, 0, 0], [2.35, 0, 0], [1.2, 2.0, 0],
+                      [3.5, 2.0, 0.3]]) + rng.normal(size=(4, 3)) * 0.02
+        nbr, mask = build_neighbors(x, 3.0, 3)
+        e1 = tersoff_energy("Si", nbr, mask)
+        em = tersoff_energy_multi(["Si"] * 4, nbr, mask)
+        np.testing.assert_allclose(float(em(jnp.asarray(x))),
+                                   float(e1(jnp.asarray(x))), rtol=1e-10)
+
+    def test_sic_dimer_bound_and_differentiable(self):
+        drv = TersoffDriver([["Si", 0, 0, 0], ["C", 1.85, 0, 0]])
+        assert drv.energy() < -2.0        # SiC bond ~ -3..-4 eV region
+        f = np.asarray(drv.force(np.zeros(6)))
+        assert np.isfinite(f).all()
+        d = np.asarray(drv.dynmat())
+        assert np.isfinite(d).all()
+
+    def test_chi_weakens_hetero_bond(self):
+        """chi_SiC < 1 reduces the attractive branch vs chi = 1."""
+        from sclmd_tpu.models.nnp import build_neighbors
+        from sclmd_tpu.models.tersoff import (TERSOFF_CHI,
+                                              tersoff_energy_multi)
+        x = np.array([[0.0, 0, 0], [1.85, 0, 0]])
+        nbr, mask = build_neighbors(x, 3.0, 2)
+        e_chi = tersoff_energy_multi(["Si", "C"], nbr, mask)
+        old = TERSOFF_CHI[("Si", "C")]
+        try:
+            TERSOFF_CHI[("Si", "C")] = 1.0
+            e_nochi = tersoff_energy_multi(["Si", "C"], nbr, mask)
+            v_chi = float(e_chi(jnp.asarray(x)))
+            v_nochi = float(e_nochi(jnp.asarray(x)))
+        finally:
+            TERSOFF_CHI[("Si", "C")] = old
+        assert v_chi > v_nochi            # weaker binding with chi < 1
