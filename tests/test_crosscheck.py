@@ -176,3 +176,54 @@ def test_phonon_bath_conductance_matches_negf(key):
     assert j_negf > 0
     assert abs(j_md - j_negf) < max(3 * j_err, 0.2 * j_negf), (
         j_md, j_err, j_negf)
+
+
+@pytest.mark.slow
+def test_equilibrium_power_spectrum_matches_negf(key):
+    """Fluctuation-dissipation: the MD velocity power spectrum of an
+    equilibrium junction matches the NEGF harmonic power spectrum
+    -2 w^2 n_B Tr Im G^r (negf.py:232) — the reference computes both
+    (md.GetPower vs bpt.getps) but never compares them."""
+    from sclmd_tpu.ops.functions import bose, powerspecp
+
+    nph, k_spring = 6, 0.04
+    dt, nmd = 0.25 / 0.658, 2 ** 13
+    T = 300.0
+    eta = 1.0 / (50 / 0.658)
+    dyn = np.asarray(chain_dynmat(nph, k_spring))
+    bathL, bathR = [0], [nph - 1]
+
+    nens = 12
+    keys = jax.random.split(key, (nens, 2))
+
+    def one(ks):
+        ebl = B.ebath(bathL, T, dt, nmd, wmax=1.0, efric=np.eye(1) * eta,
+                      dtype=jnp.float64).gnoi(ks[0])
+        ebr = B.ebath(bathR, T, dt, nmd, wmax=1.0, efric=np.eye(1) * eta,
+                      dtype=jnp.float64).gnoi(ks[1])
+        sysb = make_system(dyn, [ebl, ebr], dt, nmd, savep=True)
+        _, ys = run_segment(sysb, initial_state(sysb, dtype=jnp.float64),
+                            nmd)
+        return powerspecp(ys["ps"], dt, nmd)[:, 1]
+
+    spec = np.asarray(jax.vmap(one)(keys)).mean(axis=0)
+    dw = 2 * np.pi / dt / nmd
+    ws = dw * np.arange(nmd)
+
+    # NEGF: P(w) = -2 w^2 (n_B + 1/2) Tr Im G^r(w) — the MD runs with
+    # zero-point motion, so the analytic spectrum must carry the 1/2
+    # (the reference's getps branch, negf.py:232, omits it and would
+    # be compared against zpmotion=False runs)
+    def negf_ps(w):
+        se = np.zeros((nph, nph), complex)
+        se[0, 0] = se[-1, -1] = -1j * w * eta
+        g = np.linalg.inv((w + 1e-9j) ** 2 * np.eye(nph) - dyn - se)
+        return -2 * w ** 2 * (float(bose(w, T)) + 0.5) * \
+            np.trace(np.imag(g))
+
+    # compare integrated spectral weight over the phonon band
+    band = (ws > 0.02) & (ws < 0.45)
+    md_int = np.trapezoid(spec[band], ws[band])
+    negf_int = np.trapezoid([negf_ps(w) for w in ws[band]], ws[band])
+    assert negf_int > 0
+    assert abs(md_int - negf_int) / negf_int < 0.2, (md_int, negf_int)

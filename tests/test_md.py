@@ -59,13 +59,13 @@ def reference_vv(dyn, baths_np, mask, dt, state, nsteps):
     return (t, p, q), np.array(curs), np.array(etots)
 
 
-def make_system(dyn, baths, dt, nmd, mask=None, **kw):
+def make_system(dyn, baths, dt, nmd, mask=None, savep=False, **kw):
     nph = dyn.shape[0]
     ml = max([b.ml for b in baths], default=1)
     return GLESystem(
         dyn=jnp.asarray(dyn), baths=tuple(baths),
         mask=jnp.ones(nph) if mask is None else jnp.asarray(mask),
-        dt=dt, nph=nph, ml=ml, nmd=nmd, **kw)
+        dt=dt, nph=nph, ml=ml, nmd=nmd, savep=savep, **kw)
 
 
 class TestStepAgainstOracle:
