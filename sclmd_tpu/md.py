@@ -531,6 +531,16 @@ class md:
                 state, ys = run_segment(system, state, seg,
                                         t0=int(state.t) % self.nmd)
                 ys = jax.device_get(ys)
+                # failure detection (beyond the reference, which runs
+                # blind): a diverged segment aborts with context instead
+                # of silently writing NaN checkpoints
+                if not np.isfinite(ys["etot"]).all():
+                    bad = int(np.argmax(~np.isfinite(ys["etot"])))
+                    raise FloatingPointError(
+                        f"run {j}: non-finite energy at step "
+                        f"{int(state.t) - seg + bad}; last good "
+                        f"checkpoint is {self._ckfile(j)} — reduce dt "
+                        f"or check the force driver")
                 for k, v in ys.items():
                     if v is not None:
                         collected.setdefault(k, []).append(np.asarray(v))
@@ -626,9 +636,10 @@ class md:
                     f.write("%s    %s   %s   %s\n" % (
                         el, ave[3 * ip], ave[3 * ip + 1], ave[3 * ip + 2]))
 
+        keep = ("etot", "cur", "ps", "qs") + \
+            (("fbaths", "f") if self.saveall else ())
         self.dump(state, self.npie - 1, j, outputs={
-            k: outputs.get(k) for k in ("etot", "cur", "ps", "qs")
-            if k in outputs})
+            k: outputs.get(k) for k in keep if k in outputs})
 
     def _write_power(self, j, power, prefix):
         with open(os.path.join(

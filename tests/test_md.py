@@ -243,3 +243,30 @@ class TestWrapper:
         assert (tmp_path / "power.300.run0.dat").exists()
         traj = (tmp_path / "trajectories.300.run0.ani").read_text()
         assert traj.splitlines()[0].strip() == "4"
+
+
+class TestFailureDetection:
+    def test_divergence_raises_with_context(self, tmp_path, key):
+        """An unstable run aborts with a FloatingPointError naming the
+        step and checkpoint instead of writing NaN output."""
+        nat = 2
+        axyz = [["C", 1.0 * i, 0.0, 0.0] for i in range(nat)]
+        # negative-definite "dynamical matrix" => exponential blowup
+        dyn = -np.eye(3 * nat) * 5.0
+        runner = md(4.0, 256, 300.0, axyz=axyz, dyn=None, nstop=1,
+                    dtype=jnp.float64, outdir=str(tmp_path))
+
+        class BadDriver:
+            conv = np.ones(3 * nat)
+
+            def force(self, q):
+                return 5.0 * q  # anti-restoring
+
+            force_jax = force
+
+        runner.AddPotential(BadDriver())
+        eb = B.ebath(range(3), 300.0, 4.0, 256, wmax=1.0,
+                     efric=np.eye(3) * 0.01, dtype=jnp.float64)
+        runner.AddBath(eb)
+        with pytest.raises(FloatingPointError, match="non-finite"):
+            runner.Run()
