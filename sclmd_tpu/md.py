@@ -491,7 +491,7 @@ class md:
                     for i in range(len(self.baths)):
                         self.baths[i] = self.baths[i].replace(
                             noise=jnp.asarray(ck[f"noise{i}"]))
-                    for k in ("etot", "cur", "ps", "qs"):
+                    for k in ("etot", "cur", "ps", "qs", "fbaths", "f"):
                         if k in ck:
                             collected[k] = [np.asarray(ck[k])]
                     ipie0 = ipie
@@ -527,35 +527,57 @@ class md:
                     self.outdir,
                     f"trajectories.{self.T:g}.run{j}.ani"), "w")
 
-            for i in range(ipie0 + 1, self.npie):
-                state, ys = run_segment(system, state, seg,
-                                        t0=int(state.t) % self.nmd)
-                ys = jax.device_get(ys)
-                # failure detection (beyond the reference, which runs
-                # blind): a diverged segment aborts with context instead
-                # of silently writing NaN checkpoints
-                if not np.isfinite(ys["etot"]).all():
-                    bad = int(np.argmax(~np.isfinite(ys["etot"])))
-                    raise FloatingPointError(
-                        f"run {j}: non-finite energy at step "
-                        f"{int(state.t) - seg + bad}; last good "
-                        f"checkpoint is {self._ckfile(j)} — reduce dt "
-                        f"or check the force driver")
-                for k, v in ys.items():
-                    if v is not None:
-                        collected.setdefault(k, []).append(np.asarray(v))
-                if trajfile is not None:
-                    self._write_traj(trajfile, ys, seg, i)
-                self.dump(state, i, j, outputs={
-                    k: np.concatenate(v, axis=0)
-                    for k, v in collected.items()
-                    if k in ("etot", "cur", "ps", "qs")})
+            ck_keys = ("etot", "cur", "ps", "qs") + \
+                (("fbaths", "f") if self.saveall else ())
+            wrote_segment = ipie0 >= 0
+            try:
+                for i in range(ipie0 + 1, self.npie):
+                    state, ys = run_segment(system, state, seg,
+                                            t0=int(state.t) % self.nmd)
+                    ys = jax.device_get(ys)
+                    # failure detection (beyond the reference, which
+                    # runs blind): a diverged segment aborts with
+                    # context instead of writing NaN checkpoints. The
+                    # per-step etot observes the state at step START,
+                    # so the post-segment state is checked too.
+                    state_bad = not (
+                        np.isfinite(np.asarray(state.p)).all()
+                        and np.isfinite(np.asarray(state.q)).all())
+                    if state_bad or not np.isfinite(ys["etot"]).all():
+                        if state_bad:
+                            bad = seg - 1
+                        else:
+                            bad = int(np.argmax(
+                                ~np.isfinite(ys["etot"])))
+                        if wrote_segment:
+                            last_good = self._ckfile(j)
+                        elif os.path.isfile(self._ckfile(j - 1)):
+                            last_good = self._ckfile(j - 1)
+                        else:
+                            last_good = "none (run diverged before the "\
+                                "first checkpoint)"
+                        raise FloatingPointError(
+                            f"run {j}: non-finite state at step "
+                            f"{int(state.t) - seg + bad}; last good "
+                            f"checkpoint: {last_good} — reduce dt or "
+                            f"check the force driver")
+                    for k, v in ys.items():
+                        if v is not None:
+                            collected.setdefault(k, []).append(
+                                np.asarray(v))
+                    if trajfile is not None:
+                        self._write_traj(trajfile, ys, seg, i)
+                    self.dump(state, i, j, outputs={
+                        k: np.concatenate(v, axis=0)
+                        for k, v in collected.items() if k in ck_keys})
+                    wrote_segment = True
 
-            outputs = {k: np.concatenate(v, axis=0)
-                       for k, v in collected.items()}
-            self._postrun(j, state, outputs)
-            if trajfile is not None:
-                trajfile.close()
+                outputs = {k: np.concatenate(v, axis=0)
+                           for k, v in collected.items()}
+                self._postrun(j, state, outputs)
+            finally:
+                if trajfile is not None:
+                    trajfile.close()
             if self.rmnc and os.path.exists(self._ckfile(j - 1)):
                 os.remove(self._ckfile(j - 1))
         self.state = state

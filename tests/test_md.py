@@ -246,13 +246,13 @@ class TestWrapper:
 
 
 class TestFailureDetection:
-    def test_divergence_raises_with_context(self, tmp_path, key):
+    def test_divergence_raises_with_context(self, tmp_path):
         """An unstable run aborts with a FloatingPointError naming the
-        step and checkpoint instead of writing NaN output."""
+        step and an honest last-good-checkpoint pointer instead of
+        writing NaN output. The blow-up comes from the driver's
+        anti-restoring force."""
         nat = 2
         axyz = [["C", 1.0 * i, 0.0, 0.0] for i in range(nat)]
-        # negative-definite "dynamical matrix" => exponential blowup
-        dyn = -np.eye(3 * nat) * 5.0
         runner = md(4.0, 256, 300.0, axyz=axyz, dyn=None, nstop=1,
                     dtype=jnp.float64, outdir=str(tmp_path))
 
@@ -268,5 +268,7 @@ class TestFailureDetection:
         eb = B.ebath(range(3), 300.0, 4.0, 256, wmax=1.0,
                      efric=np.eye(3) * 0.01, dtype=jnp.float64)
         runner.AddBath(eb)
-        with pytest.raises(FloatingPointError, match="non-finite"):
+        with pytest.raises(FloatingPointError, match="non-finite") as ei:
             runner.Run()
+        # fresh run, first segment: must NOT claim MD0.npz is good
+        assert "none (run diverged" in str(ei.value)
