@@ -582,6 +582,49 @@ class md:
                 os.remove(self._ckfile(j - 1))
         self.state = state
 
+    def RunEnsemble(self, ntraj: int, nsteps: Optional[int] = None,
+                    equil_frac: float = 0.25):
+        """Run ``ntraj`` independent trajectories as ONE vmapped program.
+
+        The reference executes its ensemble sequentially (the
+        nstart..nstop loop, md.py:506); here every trajectory gets its
+        own colored noise and the whole batch is a single compiled
+        scan. Writes the same kappa.T.bathI.runJ.dat files, so
+        calHF/calTC aggregate unchanged. Returns the per-trajectory
+        mean bath currents (ntraj, nbaths).
+        """
+        from sclmd_tpu.parallel.ensemble import (ensemble_noise,
+                                                 ensemble_run,
+                                                 ensemble_states)
+        nsteps = nsteps or self.nmd
+        system = self._build_system()
+        bsys = ensemble_noise(system, self._next_key(), ntraj)
+        if self.dyn is not None and self.initranvel:
+            states = ensemble_states(
+                bsys, ntraj, key=self._next_key(),
+                hw=jnp.asarray(self.hw, self.dtype),
+                evecs=jnp.asarray(self.U, self.dtype), T=self.T)
+        else:
+            states = ensemble_states(bsys, ntraj)
+        finals, ys = ensemble_run(bsys, states, nsteps)
+        cur = np.asarray(jax.device_get(ys["cur"]))   # (ntraj, nsteps, nb)
+        if not np.isfinite(cur).all():
+            raise FloatingPointError(
+                "RunEnsemble: non-finite heat currents — reduce dt or "
+                "check the force driver")
+        skip = int(nsteps * equil_frac)
+        means = cur[:, skip:, :].mean(axis=1)
+        for jtraj in range(ntraj):
+            for ii in range(len(self.baths)):
+                with open(os.path.join(
+                        self.outdir,
+                        f"kappa.{self.T:g}.bath{ii}.run{jtraj}.dat"),
+                        "w") as fk:
+                    fk.write("%i %f    %f \n" % (
+                        jtraj, self.T, means[jtraj, ii] * U.CURCOF))
+        self.state = jax.tree_util.tree_map(lambda x: x[0], finals)
+        return means
+
     def _write_traj(self, fh, ys, seg, ipie):
         """ani-format trajectory frames every nstep steps (md.py:586-595)."""
         qs = ys.get("qs")

@@ -272,3 +272,27 @@ class TestFailureDetection:
             runner.Run()
         # fresh run, first segment: must NOT claim MD0.npz is good
         assert "none (run diverged" in str(ei.value)
+
+
+class TestRunEnsemble:
+    def test_vmapped_ensemble_writes_kappa_files(self, tmp_path):
+        nat = 4
+        axyz = [["C", 1.0 * i, 0.0, 0.0] for i in range(nat)]
+        dyn = np.asarray(chain_dynmat(3 * nat, 0.05))
+        runner = md(0.4, 256, 300.0, axyz=axyz, dyn=dyn, nstop=1,
+                    dtype=jnp.float64, outdir=str(tmp_path))
+        eta = np.eye(3) / 80.0
+        runner.AddBath(B.ebath(range(3), 330.0, 0.4, 256, wmax=1.0,
+                               efric=eta, dtype=jnp.float64))
+        runner.AddBath(B.ebath(range(9, 12), 270.0, 0.4, 256, wmax=1.0,
+                               efric=eta, dtype=jnp.float64))
+        means = runner.RunEnsemble(4)
+        assert means.shape == (4, 2)
+        # 4 pseudo-runs x 2 baths of kappa files, aggregatable by calTC
+        files = sorted(tmp_path.glob("kappa.300.bath*.run*.dat"))
+        assert len(files) == 8
+        from sclmd_tpu.utils.tools import calTC
+        res = calTC(delta=0.2, dlist=0, bathnum=2, workdir=str(tmp_path))
+        assert np.isfinite(res["conductance"][0])
+        # hot bath injects on average
+        assert means[:, 0].mean() > means[:, 1].mean()
