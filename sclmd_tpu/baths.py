@@ -146,6 +146,21 @@ class EBath:
                            self.classical, self.zpmotion)
         return self.replace(noise=xi)
 
+    def SetT(self, T) -> "EBath":
+        """New bath at temperature T (refactorised; the reference mutates
+        and warns to regenerate noise — here the factors ARE regenerated)."""
+        return self.replace(T=_as_f(T, self.efric.dtype)).prepare_noise()
+
+    def setbias(self, bias) -> "EBath":
+        """New bath at the given bias (baths.py:216-222); noise factors
+        are refreshed so gnoi() samples the new spectrum."""
+        return self.replace(
+            bias=_as_f(bias, self.efric.dtype)).prepare_noise()
+
+    def SetMDsteps(self, dt, nmd) -> "EBath":
+        """New bath on a different MD grid (baths.py:211-214)."""
+        return self.replace(dt=float(dt), nmd=int(nmd)).prepare_noise()
+
     def GetSig(self):
         """Effective wideband retarded self-energy Sigma(w) (baths.py:194-209)."""
         wl = jnp.asarray(self.wl, dtype=self.efric.dtype)
@@ -322,6 +337,21 @@ class PhBath:
     @property
     def wl(self):
         return np.array([self.wmax * i / self.nw for i in range(self.nw)])
+
+    def SetT(self, T) -> "PhBath":
+        """New bath at temperature T (baths.py:352-354) with refreshed
+        noise factors."""
+        return self.replace(T=_as_f(T, self.gamma.dtype)).prepare_noise()
+
+    def SetMDsteps(self, dt, nmd) -> "PhBath":
+        """New bath on a different MD grid (baths.py:342-345)."""
+        return self.replace(dt=float(dt), nmd=int(nmd)).prepare_noise()
+
+    def SetMemlen(self, ml) -> "PhBath":
+        """New bath with a different memory-kernel length
+        (baths.py:347-350); the kernel is regenerated."""
+        new = self.replace(ml=int(ml))
+        return new.gmem().prepare_noise()
 
     def gmem(self) -> "PhBath":
         """Generate the time-domain memory kernel (baths.py:412-446)."""

@@ -166,3 +166,35 @@ class TestPhBath:
         # different keys -> different noise
         assert not np.allclose(np.asarray(baths.noise[0]),
                                np.asarray(baths.noise[1]))
+
+
+class TestMutators:
+    def test_ebath_setbias_refreshes_spectrum(self):
+        nc = 2
+        eb = B.ebath(range(nc), 300.0, 0.5, 64, wmax=1.0,
+                     efric=np.eye(nc) * 0.1,
+                     exim=np.array([[0, .01], [-.01, 0]]),
+                     exip=np.eye(nc) * 0.01, dtype=jnp.float64)
+        eb2 = eb.setbias(0.5)
+        assert float(eb2.bias) == 0.5
+        assert not np.allclose(np.asarray(eb.nstd), np.asarray(eb2.nstd))
+
+    def test_phbath_setmemlen_regenerates_kernel(self):
+        gwl = np.linspace(0, 0.5, 9)
+        gam = np.array([np.eye(2) * 0.1 * np.exp(-w) for w in gwl])
+        pb = B.phbath(200.0, range(2), 0.25, 20, 0.4, 32, ml=4,
+                      gamma=gam, gwl=gwl, dtype=jnp.float64)
+        pb2 = pb.SetMemlen(8)
+        assert pb2.ml == 8 and pb2.kernel.shape[0] == 8
+        np.testing.assert_allclose(np.asarray(pb2.kernel[:4]),
+                                   np.asarray(pb.kernel), rtol=1e-10)
+
+    def test_sett_changes_noise_amplitude(self, key):
+        # classical bath: variance scales linearly with T (a quantum one
+        # at these frequencies is zero-point dominated)
+        pb = B.phbath(100.0, range(2), 0.2, 16, 0.5, 64,
+                      classical=True, dtype=jnp.float64)
+        hot = pb.SetT(1000.0)
+        v_cold = float(jnp.var(pb.gnoi(key).noise))
+        v_hot = float(jnp.var(hot.gnoi(key).noise))
+        assert v_hot > 5 * v_cold
