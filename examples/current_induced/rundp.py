@@ -41,7 +41,7 @@ gr = np.zeros((n_el, n_el)); gr[-2:, -2:] = np.eye(2) * 0.8
 band = 1.0 / (1.0 + (E / 2.8) ** 6)
 SigL = -0.5j * band[:, None, None] * gl[None]
 SigR = -0.5j * band[:, None, None] * gr[None]
-m = rng.normal(size=(nm, n_el, n_el)) * 0.15
+m = rng.normal(size=(nm, n_el, n_el)) * 0.08
 M = np.array([(mi + mi.T) / 2 for mi in m], dtype=complex)
 hw = np.sort(rng.random(nm) * 0.15 + 0.02)
 
@@ -58,7 +58,7 @@ na = 24
 nph = 3 * na
 dyn = np.asarray(chain_dynmat(nph, 0.04))
 axyz = [["C", 1.4 * i, 0.0, 0.0] for i in range(na)]
-T, bias = 300.0, 1.0
+T, bias = 300.0, 0.5
 dt, nmd = 0.5 / 0.658, 2 ** 11
 
 runner = md(dt, nmd, T, axyz=axyz, dyn=dyn, nstop=2, dtype=jnp.float64)
@@ -72,8 +72,10 @@ runner.AddBath(B.ebath(range(nph - nlead, nph), T, dt, nmd, wmax=2.0,
                        dtype=jnp.float64))
 # biased center bath with current-induced wind forces
 center = list(range(nph // 2 - nm // 2, nph // 2 + nm - nm // 2))
-# make eta positive definite for a stable friction matrix
-eta_pd = eta_c + np.eye(nm) * (abs(np.linalg.eigvalsh(eta_c)).max() + 1e-4)
+# make eta positive definite and strong enough to damp the bias wind
+# forces (current-induced instabilities are physical — runaway modes at
+# high bias; the example stays in the stable regime)
+eta_pd = eta_c + np.eye(nm) * (abs(np.linalg.eigvalsh(eta_c)).max() + 2e-3)
 runner.AddBath(B.ebath(center, T, dt, nmd, wmax=2.0, nw=1000, bias=bias,
                        efric=eta_pd, exim=xim_c, exip=xip_c,
                        zpmotion=False, dtype=jnp.float64))

@@ -100,16 +100,17 @@ def bose(w, T, xp=jnp):
     return xp.where(t_zero, b0, bT)
 
 
-def fermi(ep, mu, T):
+def fermi(ep, mu, T, xp=jnp):
     """Fermi-Dirac occupation (functions.py:102-114); T=0 step with 0.5 at mu."""
-    ep = jnp.asarray(ep, dtype=jnp.result_type(float, ep))
-    T = jnp.asarray(T, dtype=ep.dtype)
+    ep = xp.asarray(ep, dtype=xp.result_type(float, ep))
+    T = xp.asarray(T, dtype=ep.dtype)
     t_zero = T == 0.0
-    f0 = jnp.where(ep < mu, 1.0, jnp.where(ep > mu, 0.0, 0.5))
-    T_safe = jnp.where(t_zero, 1.0, T)
-    x = (ep - mu) / (U.KB * T_safe)
-    fT = 1.0 / (jnp.exp(x) + 1.0)
-    return jnp.where(t_zero, f0, fT)
+    f0 = xp.where(ep < mu, 1.0, xp.where(ep > mu, 0.0, 0.5))
+    T_safe = xp.where(t_zero, 1.0, T)
+    with np.errstate(over="ignore"):
+        x = (ep - mu) / (U.KB * T_safe)
+        fT = 1.0 / (xp.exp(x) + 1.0)
+    return xp.where(t_zero, f0, fT)
 
 
 def equ_spectrum(w, cut, T, classical: bool = False, zpmotion: bool = True,

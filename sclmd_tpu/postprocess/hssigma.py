@@ -19,8 +19,6 @@ sclmd_tpu.utils.io (npz or NetCDF).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,7 +33,6 @@ def expand_pivoted_sigma(SFE, pivot, n: int):
     pivot = np.asarray(pivot, dtype=np.int64)
     out_shape = SFE.shape[:-2] + (n, n)
     out = np.zeros(out_shape, dtype=complex)
-    ix = np.ix_(*[range(s) for s in SFE.shape[:-2]]) if SFE.ndim > 2 else ()
     out[..., pivot[:, None], pivot[None, :]] = SFE
     return out
 
@@ -108,8 +105,7 @@ def kaverage_extract(Hk, Sk, SigLk, SigRk, E, wk, eta: float = 1e-4,
         return SigL, SigR, SigTOT, Tk, Trs
 
     SigL, SigR, SigTOT, Tks, Trs = jax.lax.map(
-        one_energy, (E, jnp.moveaxis(SigLk, 0, 0),
-                     jnp.moveaxis(SigRk, 0, 0)), batch_size=batch_size)
+        one_energy, (E, SigLk, SigRk), batch_size=batch_size)
     return {"Hbar": np.asarray(Hbar), "Sbar": np.asarray(Sbar),
             "SigmaL": np.asarray(SigL), "SigmaR": np.asarray(SigR),
             "SigmaTOT": np.asarray(SigTOT),

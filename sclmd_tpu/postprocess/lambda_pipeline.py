@@ -1,4 +1,4 @@
-"""Current-induced-force (Lambda) pipeline, batched for TPU.
+"""Current-induced-force (Lambda) pipeline.
 
 Re-derivation of /root/reference/siesta-post/lambda.py: from electronic
 structure (H, S, lead self-energies Sigma_L/R(E)) and e-ph coupling
@@ -14,20 +14,25 @@ matrices eta (friction) / xim (nonconservative wind) / xip /
 zeta1 (renormalisation) / zeta2 (Berry) consumed by the biased ebath
 (sclmd_tpu.baths.ebath; reference baths.py:224-255).
 
-TPU-first design decisions vs the reference:
+Design decisions vs the reference:
 
-* The per-energy Green's-function loop (lambda.py:532-561) becomes one
-  chunked batched solve; the per-mode-pair Python loops with
-  eigen-truncated matmuls (cutA/cutM + LambdaFFT, lambda.py:801-950)
-  become dense einsums + a single FFT cross-correlation over the whole
-  energy axis for ALL mode pairs at once. Eigen truncation was a
-  CPU-time optimisation; batched dense algebra on the MXU does not
-  need it (cutA/cutM are still provided for low-rank analysis parity).
+* The per-mode-pair Python loops with eigen-truncated matmuls
+  (cutA/cutM + LambdaFFT, lambda.py:801-950) become dense einsums + an
+  FFT cross-correlation over the whole energy axis, CHUNKED over mode
+  pairs so peak memory is (2*chunk) * ne * n^2 instead of the
+  reference's rank-truncation bound (cutA/cutM are still provided for
+  low-rank analysis parity).
+* This is a SETUP-TIME tool, so it runs on the host in numpy by
+  default (``backend="numpy"``) — consistent with the repo invariant
+  that bath/pipeline setup never depends on device transfers (some TPU
+  tunnels cannot move complex buffers off-device). ``backend="jax"``
+  switches the heavy pieces (batched solves, correlations) to jnp for
+  healthy accelerators.
 * The reference's FFT branch calls ``myfft.iFourier1Dpad`` which does
   not exist in its own library (lambda.py:886 vs functions.py:11-53) —
-  the zero-padding scheme is reconstructed here explicitly and the
-  result is validated against the direct-integration formula
-  (``lambda_direct``, lambda.py:760-798) in the test suite.
+  the zero-padding scheme is reconstructed here explicitly and
+  validated against the direct-integration formula (``lambda_direct``,
+  lambda.py:760-798) in the test suite.
 
 Energy grids are "FFT-ordered": [0, dE, ..., Emax, -Emax, ..., -dE]
 (lambda.py readHS:1593-1610). ``fft_order_grid`` builds one.
@@ -35,17 +40,22 @@ Energy grids are "FFT-ordered": [0, dE, ..., Emax, -Emax, ..., -dE]
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-from sclmd_tpu import units as U
 from sclmd_tpu.ops.functions import bose, fermi, nearest
 
 SPIN = 2.0   # electron spin degeneracy (lambda.py:677,822)
+
+
+def _get_xp(backend: str):
+    if backend == "numpy":
+        return np
+    if backend == "jax":
+        import jax.numpy as jnp
+        return jnp
+    raise ValueError(f"backend must be numpy|jax, got {backend}")
 
 
 # ---------------------------------------------------------------------------
@@ -67,11 +77,11 @@ def reord(a):
     return np.concatenate([a[h:], a[:h]], axis=0)
 
 
-def trev(a, axis=0):
+def trev(a, axis=0, xp=np):
     """a(t) -> a(-t) on a periodic grid: index 0 fixed, rest reversed
     (lambda.py:1286-1296)."""
-    a = jnp.asarray(a)
-    return jnp.roll(jnp.flip(a, axis=axis), 1, axis=axis)
+    a = xp.asarray(a)
+    return xp.roll(xp.flip(a, axis=axis), 1, axis=axis)
 
 
 # ---------------------------------------------------------------------------
@@ -104,38 +114,67 @@ def cutM(A, cut: float):
 # ---------------------------------------------------------------------------
 # spectral functions
 # ---------------------------------------------------------------------------
-def spectral_functions(H, S, E, SigL, SigR, batch_size: int = 16):
-    """Batched G(E), A_L, A_R, A, sym Re G, transmission over the grid.
+def spectral_functions(H, S, E, SigL, SigR, batch_size: int = 16,
+                       backend: str = "numpy", keep_G: bool = True):
+    """G(E), A_L, A_R, A, sym Re G, transmission over the grid.
 
     Mirrors calcALR (lambda.py:496-565) without eigen truncation:
     G = (E S - H - SigL - SigR)^-1; A_a = G Gamma_a G^dag;
-    TR = Tr[A_L Gamma_R].
+    TR = Tr[A_L Gamma_R]. ``keep_G=False`` drops the raw Green's
+    functions from the result (the pipeline itself never reads them).
     """
-    H = jnp.asarray(H)
-    S = jnp.asarray(S)
-    SigL = jnp.asarray(SigL)
-    SigR = jnp.asarray(SigR)
-    E = jnp.asarray(np.asarray(E, dtype=float))
-    n = H.shape[0]
-    eye = jnp.eye(n, dtype=H.dtype)
+    H = np.asarray(H)
+    S = np.asarray(S)
+    SigL = np.asarray(SigL)
+    SigR = np.asarray(SigR)
+    E = np.asarray(E, dtype=float)
 
-    def one(args):
-        e, sl, sr = args
-        gl = 1j * (sl - jnp.conjugate(sl.T))
-        gr = 1j * (sr - jnp.conjugate(sr.T))
-        g = jnp.linalg.inv(e * S - H - sl - sr)
-        gd = jnp.conjugate(g.T)
-        al = g @ gl @ gd
-        ar = g @ gr @ gd
-        tr = jnp.trace(al @ gr)
-        reg = 0.5 * (jnp.real(g) + jnp.real(g).T).astype(H.dtype)
-        return g, al, ar, reg, jnp.real(tr)
+    if backend == "jax":
+        import jax
+        import jax.numpy as jnp
 
-    G, AL, AR, ReG, TR = jax.lax.map(one, (E, SigL, SigR),
-                                     batch_size=batch_size)
-    return {"G": G, "AL": AL, "AR": AR, "A": AL + AR, "ReG": ReG,
-            "TR": TR, "ALtr": jnp.real(jnp.trace(AL, axis1=1, axis2=2)),
-            "ARtr": jnp.real(jnp.trace(AR, axis1=1, axis2=2))}
+        def one(args):
+            e, sl, sr = args
+            gl = 1j * (sl - jnp.conjugate(sl.T))
+            gr = 1j * (sr - jnp.conjugate(sr.T))
+            g = jnp.linalg.inv(e * jnp.asarray(S) - jnp.asarray(H)
+                               - sl - sr)
+            gd = jnp.conjugate(g.T)
+            al = g @ gl @ gd
+            ar = g @ gr @ gd
+            tr = jnp.trace(al @ gr)
+            reg = 0.5 * (jnp.real(g) + jnp.real(g).T).astype(g.dtype)
+            return g, al, ar, reg, jnp.real(tr)
+
+        G, AL, AR, ReG, TR = jax.lax.map(
+            one, (jnp.asarray(E), jnp.asarray(SigL), jnp.asarray(SigR)),
+            batch_size=batch_size)
+        G, AL, AR, ReG, TR = (np.asarray(x) for x in (G, AL, AR, ReG, TR))
+    else:
+        ne, n = len(E), H.shape[0]
+        G = np.empty((ne, n, n), complex)
+        AL = np.empty_like(G)
+        AR = np.empty_like(G)
+        ReG = np.empty_like(G)
+        TR = np.empty(ne)
+        for i in range(ne):
+            sl, sr = SigL[i], SigR[i]
+            gl = 1j * (sl - sl.conj().T)
+            gr = 1j * (sr - sr.conj().T)
+            g = np.linalg.inv(E[i] * S - H - sl - sr)
+            gd = g.conj().T
+            G[i] = g
+            AL[i] = g @ gl @ gd
+            AR[i] = g @ gr @ gd
+            ReG[i] = 0.5 * (g.real + g.real.T)
+            TR[i] = np.real(np.trace(AL[i] @ gr))
+
+    out = {"AL": AL, "AR": AR, "A": AL + AR, "ReG": ReG, "TR": TR,
+           "ALtr": np.real(np.trace(AL, axis1=1, axis2=2)),
+           "ARtr": np.real(np.trace(AR, axis1=1, axis2=2))}
+    if keep_G:
+        out["G"] = G
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -151,7 +190,7 @@ def _pair_mask(hw, hwcut: float):
 
 
 def mama_single(M, Aa, Ab, mask, spin: float = SPIN,
-                herm_mode: str = "tril"):
+                herm_mode: str = "tril", xp=np):
     """(MAaMAb)_{kl} = spin Tr[M_k Aa M_l Ab] with mask + Hermitian fill.
 
     herm_mode: "tril" fills the upper triangle from the conjugated lower
@@ -159,85 +198,103 @@ def mama_single(M, Aa, Ab, mask, spin: float = SPIN,
     linear 0.5 (X + X^dag) (commutes with energy integration — used for
     FFT/direct cross-checks); None returns the raw trace matrix.
     """
-    M = jnp.asarray(M)
-    X = jnp.einsum("kpq,qr->kpr", M, jnp.asarray(Aa))
-    Y = jnp.einsum("lrs,sp->lrp", M, jnp.asarray(Ab))
-    out = jnp.einsum("kpr,lrp->kl", X, Y)
-    out = jnp.where(jnp.asarray(mask), out, 0.0)
+    M = xp.asarray(M)
+    X = xp.einsum("kpq,qr->kpr", M, xp.asarray(Aa))
+    Y = xp.einsum("lrs,sp->lrp", M, xp.asarray(Ab))
+    out = xp.einsum("kpr,lrp->kl", X, Y)
+    out = xp.where(xp.asarray(mask), out, 0.0)
     if herm_mode == "tril":
-        out = jnp.tril(out, -1) + jnp.conjugate(jnp.tril(out, -1)).T \
-            + jnp.diag(jnp.real(jnp.diag(out)))
+        out = xp.tril(out, -1) + xp.conjugate(xp.tril(out, -1)).T \
+            + xp.diag(xp.real(xp.diag(out)).astype(out.dtype))
     elif herm_mode == "sym":
-        out = 0.5 * (out + jnp.conjugate(out.T))
+        out = 0.5 * (out + xp.conjugate(out.T))
     return spin * out
 
 
 # ---------------------------------------------------------------------------
 # FFT cross-correlation over the energy axis
 # ---------------------------------------------------------------------------
-def _pad_middle(a, npad: int, axis: int = 0):
+def _pad_middle(a, npad: int, axis: int, xp):
     """Insert npad zeros at the high-|E| midpoint of an FFT-ordered axis."""
     n = a.shape[axis]
     h = n // 2
-    lo = jax.lax.slice_in_dim(a, 0, h, axis=axis)
-    hi = jax.lax.slice_in_dim(a, h, n, axis=axis)
-    shape = list(a.shape)
-    shape[axis] = npad
-    z = jnp.zeros(shape, a.dtype)
-    return jnp.concatenate([lo, z, hi], axis=axis)
+    a0 = xp.moveaxis(a, axis, 0)
+    z = xp.zeros((npad,) + a0.shape[1:], a.dtype)
+    out = xp.concatenate([a0[:h], z, a0[h:]], axis=0)
+    return xp.moveaxis(out, 0, axis)
 
 
-def _unpad_middle(a, npad: int, axis: int = 0):
+def _unpad_middle(a, npad: int, axis: int, xp):
     n = a.shape[axis]
     h = (n - npad) // 2
-    lo = jax.lax.slice_in_dim(a, 0, h, axis=axis)
-    hi = jax.lax.slice_in_dim(a, h + npad, n, axis=axis)
-    return jnp.concatenate([lo, hi], axis=axis)
+    a0 = xp.moveaxis(a, axis, 0)
+    out = xp.concatenate([a0[:h], a0[h + npad:]], axis=0)
+    return xp.moveaxis(out, 0, axis)
 
 
-def energy_correlation(u, v, npad: Optional[int] = None):
+def energy_correlation(u, v, npad: Optional[int] = None, xp=np):
     """C_{kl}(w) = sum_{E} <u_k(E + w), v_l(E)> for FFT-ordered fields.
 
-    u, v: (nm, ne, d) complex. Computed as ifft/product/fft with
-    middle zero-padding to suppress wrap-around; returns (nm, nm, ne).
+    u, v: (nmu, ne, d) / (nmv, ne, d) complex. Computed as
+    fft/product/ifft with middle zero-padding to suppress wrap-around;
+    returns (nmu, nmv, ne).
     """
-    u = jnp.asarray(u)
-    v = jnp.asarray(v)
+    u = xp.asarray(u)
+    v = xp.asarray(v)
     ne = u.shape[1]
     npad = (ne // 2) * 2 if npad is None else npad
-    up = _pad_middle(u, npad, axis=1)
-    vp = _pad_middle(v, npad, axis=1)
+    up = _pad_middle(u, npad, 1, xp)
+    vp = _pad_middle(v, npad, 1, xp)
     # w -> t (exponent e^{-2pi i j t/N} convention: plain fft)
-    ut = jnp.fft.fft(up, axis=1)
-    vt = jnp.fft.fft(vp, axis=1)
-    vtr = trev(vt, axis=1)                    # v(-t)
-    # product + trace over basis, per t: (nm, nm, nt)
-    prod = jnp.einsum("ktd,ltd->klt", ut, vtr)
+    ut = xp.fft.fft(up, axis=1)
+    vt = xp.fft.fft(vp, axis=1)
+    vtr = trev(vt, axis=1, xp=xp)             # v(-t)
+    prod = xp.einsum("ktd,ltd->klt", ut, vtr)
     # t -> w with 1/N (ifft) giving exactly sum_E u(E+w) v(E)
-    corr = jnp.fft.ifft(prod, axis=2)
-    return _unpad_middle(corr, npad, axis=2)
+    corr = xp.fft.ifft(prod, axis=2)
+    return _unpad_middle(corr, npad, 2, xp)
 
 
-def _mode_fields(M, Aw, weight=None):
+def _mode_fields(M, Aw, weight=None, xp=np):
     """u_k(E) = flatten(M_k @ A(E) * weight(E)): (nm, ne, n^2)."""
-    M = jnp.asarray(M)
-    Aw = jnp.asarray(Aw)
-    X = jnp.einsum("kpq,eqr->kepr", M, Aw)
+    M = xp.asarray(M)
+    Aw = xp.asarray(Aw)
+    X = xp.einsum("kpq,eqr->kepr", M, Aw)
     if weight is not None:
-        X = X * jnp.asarray(weight)[None, :, None, None]
+        X = X * xp.asarray(weight)[None, :, None, None]
     nm, ne, n, _ = X.shape
     return X.reshape(nm, ne, n * n)
 
 
-def _mode_fields_T(M, Aw, weight=None):
+def _mode_fields_T(M, Aw, weight=None, xp=np):
     """v_l(E) = flatten((M_l @ A(E))^T) so <u_k, v_l> = Tr[...]."""
-    M = jnp.asarray(M)
-    Aw = jnp.asarray(Aw)
-    X = jnp.einsum("lrs,esp->lerp", M, Aw)
+    M = xp.asarray(M)
+    Aw = xp.asarray(Aw)
+    X = xp.einsum("lrs,esp->lerp", M, Aw)
     if weight is not None:
-        X = X * jnp.asarray(weight)[None, :, None, None]
+        X = X * xp.asarray(weight)[None, :, None, None]
     nm, ne, n, _ = X.shape
-    return jnp.swapaxes(X, 2, 3).reshape(nm, ne, n * n)
+    return xp.swapaxes(X, 2, 3).reshape(nm, ne, n * n)
+
+
+def chunked_correlation(M, Aw_u, Aw_v, wu, wv, mode_chunk: int,
+                        xp=np) -> np.ndarray:
+    """Blocked C_{kl}(w): builds the (chunk, ne, n^2) mode fields per
+    block so peak memory is 2 * mode_chunk * ne * n^2 complex instead of
+    2 * nm * ne * n^2 (the dense route OOMs at production junction
+    sizes; the reference bounded this with eigen truncation instead).
+    """
+    nm = M.shape[0]
+    ne = Aw_u.shape[0]
+    out = np.empty((nm, nm, ne), complex)
+    for i0 in range(0, nm, mode_chunk):
+        iu = slice(i0, min(i0 + mode_chunk, nm))
+        u = _mode_fields(M[iu], Aw_u, weight=wu, xp=xp)
+        for j0 in range(0, nm, mode_chunk):
+            jv = slice(j0, min(j0 + mode_chunk, nm))
+            v = _mode_fields_T(M[jv], Aw_v, weight=wv, xp=xp)
+            out[iu, jv] = np.asarray(energy_correlation(u, v, xp=xp))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -255,10 +312,17 @@ class LambdaPipeline:
         (Hermitised, * sqrt(2 hw) — ReadEph convention lambda.py:1633-1641).
     hw : (nm,) phonon mode energies (eV).
     Umodes : optional (nm, nph) mode->real-space transform (ReadDynmat).
+    backend : "numpy" (host, default — this is setup-time tooling) or
+        "jax" for the heavy linear algebra on an accelerator.
+    mode_chunk : block size for the mode-pair correlation memory bound.
     """
 
     def __init__(self, H, S, E, SigL, SigR, M, hw, Umodes=None,
-                 T: float = 0.0, spin: float = SPIN, batch_size: int = 16):
+                 T: float = 0.0, spin: float = SPIN, batch_size: int = 16,
+                 backend: str = "numpy", mode_chunk: int = 8):
+        self.xp = _get_xp(backend)
+        self.backend = backend
+        self.mode_chunk = int(mode_chunk)
         self.H, self.S = np.asarray(H), np.asarray(S)
         self.E = np.asarray(E, dtype=float)
         self.de = float(np.abs(self.E[1] - self.E[0]))
@@ -269,7 +333,8 @@ class LambdaPipeline:
         self.T = float(T)
         self.spin = spin
         self.sp = spectral_functions(self.H, self.S, self.E,
-                                     self.SigL, self.SigR, batch_size)
+                                     self.SigL, self.SigR, batch_size,
+                                     backend=backend, keep_G=False)
 
     # -- raw MAMA at chosen energies ---------------------------------------
     def _A(self, which):
@@ -280,8 +345,9 @@ class LambdaPipeline:
         """spin Tr[M_k A_a(w1) M_l A_b(w2)] (calcMAMA)."""
         i1, i2 = nearest(w1, self.E), nearest(w2, self.E)
         mask = _pair_mask(self.hw, hwcut)
-        return mama_single(self.M, self._A(a)[i1], self._A(b)[i2], mask,
-                           self.spin, herm_mode=herm_mode)
+        return np.asarray(mama_single(
+            self.M, self._A(a)[i1], self._A(b)[i2], mask,
+            self.spin, herm_mode=herm_mode, xp=self.xp))
 
     # -- direct integration (oracle; Lambda, lambda.py:760-798) ------------
     def lambda_direct(self, w, a, b, mua, mub, dw, maxw, hwcut,
@@ -295,85 +361,109 @@ class LambdaPipeline:
         nw = int(np.floor((hi - lo) / dw) + 1)
         wl = [(hi + lo) / 2] if nw == 1 else \
             [lo + (hi - lo) * i / (nw - 1) for i in range(nw)]
-        acc = np.mean([np.asarray(self.mama(x + w, x, a, b, hwcut,
-                                            herm_mode=herm_mode))
-                       for x in wl], axis=0)
+        acc = np.mean([self.mama(x + w, x, a, b, hwcut,
+                                 herm_mode=herm_mode) for x in wl],
+                      axis=0)
         return (mua - mub - w) / 4 / np.pi ** 2 * acc
 
     # -- FFT Lambda (LambdaFFT, lambda.py:801-950) -------------------------
     def lambda_fft(self, a, b, mua, mub, hwcut):
         E = self.E
-        fa = 1.0 - np.asarray(fermi(E, mua, self.T, ))   # 1 - n_F^a
-        fb = np.asarray(fermi(E, mub, self.T))           # n_F^b
-        u = _mode_fields(self.M, self._A(a), weight=fa)
-        v = _mode_fields_T(self.M, self._A(b), weight=fb)
-        corr = energy_correlation(u, v)                  # (nm, nm, ne)
-        lam = jnp.moveaxis(corr, 2, 0) * (self.de / (2 * np.pi) ** 2) \
+        fa = 1.0 - np.asarray(fermi(E, mua, self.T, xp=np))
+        fb = np.asarray(fermi(E, mub, self.T, xp=np))
+        corr = chunked_correlation(self.M, np.asarray(self._A(a)),
+                                   np.asarray(self._A(b)), fa, fb,
+                                   self.mode_chunk, xp=self.xp)
+        lam = np.moveaxis(corr, 2, 0) * (self.de / (2 * np.pi) ** 2) \
             * self.spin
         # Hermitian structure in mode space + hwcut mask
-        mask = jnp.asarray(_pair_mask(self.hw, hwcut))
-        lam = jnp.where(mask[None], lam, 0.0)
-        lam = 0.5 * (lam + jnp.conjugate(jnp.swapaxes(lam, 1, 2)))
+        mask = _pair_mask(self.hw, hwcut)
+        lam = np.where(mask[None], lam, 0.0)
+        lam = 0.5 * (lam + np.conjugate(np.swapaxes(lam, 1, 2)))
         # detailed-balance division (lambda.py:944-948)
-        denom = np.asarray(bose(mua - mub - E, self.T))
+        denom = np.asarray(bose(mua - mub - E, self.T, xp=np))
         keep = (mua - mub - E) < 0.0
-        lam = jnp.where(jnp.asarray(keep)[:, None, None],
-                        lam / jnp.asarray(denom)[:, None, None], 0.0)
+        lam = np.where(keep[:, None, None],
+                       lam / np.where(keep, denom, 1.0)[:, None, None],
+                       0.0)
         return lam
 
     # -- equilibrium part (EquLambdaFFT, lambda.py:953-1081) ---------------
     def equ_lambda_fft(self, hwcut, mu0: float = 0.0):
         E = self.E
-        f0 = np.asarray(fermi(E, mu0, self.T))
-        u = _mode_fields(self.M, self.sp["A"], weight=f0)
-        v = _mode_fields_T(self.M, self.sp["A"])
-        c1 = energy_correlation(u, v)                   # sum u(E+w) v(E)
-        # second term u(-t)v(t): sum_E u(E) v(E+w) = C_vu[l,k](w)
-        c2 = jnp.swapaxes(energy_correlation(v, u), 0, 1)
-        lam = jnp.moveaxis(c1 - c2, 2, 0)
+        f0 = np.asarray(fermi(E, mu0, self.T, xp=np))
+        A = np.asarray(self.sp["A"])
+        c1 = chunked_correlation(self.M, A, A, f0, None,
+                                 self.mode_chunk, xp=self.xp)
+        # second term u(-t)v(t): sum_E u(E) v(E+w) = C_vu[l,k](w), built
+        # from the role-swapped correlation (the f0 weight stays on the
+        # u-field, which now sits in the static slot)
+        c2 = np.swapaxes(self._corr_swapped(A, A, f0, None), 0, 1)
+        lam = np.moveaxis(c1 - c2, 2, 0)
         lam = lam * (self.de / (2 * np.pi) ** 2) * self.spin
-        mask = jnp.asarray(_pair_mask(self.hw, hwcut))
-        lam = jnp.where(mask[None], lam, 0.0)
+        mask = _pair_mask(self.hw, hwcut)
+        lam = np.where(mask[None], lam, 0.0)
         # real symmetric in mode space (lambda.py:1064-1066)
-        lam = jnp.real(lam)
-        lam = 0.5 * (lam + jnp.swapaxes(lam, 1, 2))
+        lam = np.real(lam)
+        lam = 0.5 * (lam + np.swapaxes(lam, 1, 2))
         return lam
+
+    def _corr_swapped(self, Aw_u, Aw_v, wu, wv):
+        """C_vu: correlation with the v-field leading (u_k built with
+        _mode_fields_T semantics on the second slot)."""
+        nm = self.M.shape[0]
+        ne = Aw_u.shape[0]
+        out = np.empty((nm, nm, ne), complex)
+        ch = self.mode_chunk
+        for i0 in range(0, nm, ch):
+            iu = slice(i0, min(i0 + ch, nm))
+            u = _mode_fields_T(self.M[iu], Aw_v, weight=wv, xp=self.xp)
+            for j0 in range(0, nm, ch):
+                jv = slice(j0, min(j0 + ch, nm))
+                v = _mode_fields(self.M[jv], Aw_u, weight=wu, xp=self.xp)
+                # note: u here plays the "shifted" role
+                out[iu, jv] = np.asarray(
+                    energy_correlation(u, v, xp=self.xp))
+        return out
 
     # -- nonequilibrium part (NonequLambdaFFT, lambda.py:1084-1283) --------
     def nonequ_lambda_fft(self, hwcut, muL, muR, mu0: float = 0.0):
         E = self.E
-        dfL = np.asarray(fermi(E, muL, self.T)) - \
-            np.asarray(fermi(E, mu0, self.T))
-        dfR = np.asarray(fermi(E, muR, self.T)) - \
-            np.asarray(fermi(E, mu0, self.T))
-        uL = _mode_fields(self.M, self.sp["AL"], weight=dfL)
-        uR = _mode_fields(self.M, self.sp["AR"], weight=dfR)
-        u = uL + uR
-        v = _mode_fields_T(self.M, self.sp["A"])
-        c1 = jnp.moveaxis(energy_correlation(u, v), 2, 0)
-        c2 = jnp.moveaxis(jnp.swapaxes(energy_correlation(v, u), 0, 1),
-                          2, 0)
+        dfL = np.asarray(fermi(E, muL, self.T, xp=np)) - \
+            np.asarray(fermi(E, mu0, self.T, xp=np))
+        dfR = np.asarray(fermi(E, muR, self.T, xp=np)) - \
+            np.asarray(fermi(E, mu0, self.T, xp=np))
+        # u = M (AL dfL + AR dfR): build the weighted combined field once
+        Au = (np.asarray(self.sp["AL"]) * dfL[:, None, None]
+              + np.asarray(self.sp["AR"]) * dfR[:, None, None])
+        A = np.asarray(self.sp["A"])
+        c1 = np.moveaxis(chunked_correlation(
+            self.M, Au, A, None, None, self.mode_chunk, xp=self.xp), 2, 0)
+        c2 = np.moveaxis(np.swapaxes(
+            self._corr_swapped(Au, A, None, None), 0, 1), 2, 0)
         pref = (self.de / (2 * np.pi) ** 2) * self.spin
-        mask = jnp.asarray(_pair_mask(self.hw, hwcut))[None]
+        mask = _pair_mask(self.hw, hwcut)[None]
 
         diff = (c1 - c2) * pref
         summ = (c1 + c2) * pref
-        lam = 0.5 * (jnp.real(diff) + jnp.swapaxes(jnp.real(diff), 1, 2)) \
-            + 0.5j * (jnp.imag(summ) - jnp.swapaxes(jnp.imag(summ), 1, 2))
-        lam = jnp.where(mask, lam, 0.0)
+        lam = 0.5 * (np.real(diff) + np.swapaxes(np.real(diff), 1, 2)) \
+            + 0.5j * (np.imag(summ) - np.swapaxes(np.imag(summ), 1, 2))
+        lam = np.where(mask, lam, 0.0)
 
         # Hilbert partner with sym Re G in place of A; H{A} = -2 Re G
         # carries an extra factor 2 (lambda.py:1276-1278)
-        vh = _mode_fields_T(self.M, self.sp["ReG"].astype(self.sp["A"].dtype))
-        h1 = jnp.moveaxis(energy_correlation(u, vh), 2, 0)
-        h2 = jnp.moveaxis(jnp.swapaxes(energy_correlation(vh, u), 0, 1),
-                          2, 0)
+        ReG = np.asarray(self.sp["ReG"]).astype(complex)
+        h1 = np.moveaxis(chunked_correlation(
+            self.M, Au, ReG, None, None, self.mode_chunk, xp=self.xp),
+            2, 0)
+        h2 = np.moveaxis(np.swapaxes(
+            self._corr_swapped(Au, ReG, None, None), 0, 1), 2, 0)
         prefH = (self.de / (2 * np.pi) ** 2) * 2.0 * self.spin
         diffH = (h1 - h2) * prefH
         summH = (h1 + h2) * prefH
-        hlam = 0.5 * (jnp.real(summH) + jnp.swapaxes(jnp.real(summH), 1, 2)) \
-            + 0.5j * (jnp.imag(diffH) - jnp.swapaxes(jnp.imag(diffH), 1, 2))
-        hlam = jnp.where(mask, hlam, 0.0)
+        hlam = 0.5 * (np.real(summH) + np.swapaxes(np.real(summH), 1, 2)) \
+            + 0.5j * (np.imag(diffH) - np.swapaxes(np.imag(diffH), 1, 2))
+        hlam = np.where(mask, hlam, 0.0)
         return lam, hlam
 
     # -- wideband matrices (wbLambda, lambda.py:1299-1436) -----------------
@@ -382,30 +472,36 @@ class LambdaPipeline:
         MRR = self.mama(mu0, mu0, "R", "R", hwcut)
         MLR = self.mama(mu0, mu0, "L", "R", hwcut)
         MRL = self.mama(mu0, mu0, "R", "L", hwcut)
-        eta = np.real(np.asarray(MLL + MRR + MLR + MRL)) / 4 / np.pi
-        xim = np.imag(np.asarray(MLR)) / 2 / np.pi
-        xip = np.real(np.asarray(MLR)) / 2 / np.pi
+        eta = np.real(MLL + MRR + MLR + MRL) / 4 / np.pi
+        xim = np.imag(MLR) / 2 / np.pi
+        xip = np.real(MLR) / 2 / np.pi
 
         # zeta1 / zeta2 from Tr[M (AL - AR) M ReG] and the dReG/dE
         # variant at mu0 (lambda.py:1336-1364)
         iw = nearest(mu0, self.E)
-        # forward neighbor on the FFT-ordered grid
-        de = self.de
-        iwp = nearest(self.E[iw] + de, self.E)
-        iwm = nearest(self.E[iw] - de, self.E)
-        dAm = self.sp["AL"][iw] - self.sp["AR"][iw]
-        ReG = self.sp["ReG"][iw].astype(dAm.dtype)
-        dReG = ((self.sp["ReG"][iwp] - self.sp["ReG"][iwm]) / de / 2) \
-            .astype(dAm.dtype)
+        iwp = nearest(self.E[iw] + self.de, self.E)
+        iwm = nearest(self.E[iw] - self.de, self.E)
+        if iwp == iw or iwm == iw:
+            raise ValueError(
+                f"wideband: mu0={mu0} sits at the energy-grid edge "
+                f"(E[iw]={self.E[iw]:.6g}); the dReG/dE finite "
+                "difference needs both neighbors — enlarge emax or "
+                "shift mu0")
+        denomE = self.E[iwp] - self.E[iwm]
+        dAm = np.asarray(self.sp["AL"][iw] - self.sp["AR"][iw])
+        ReG = np.asarray(self.sp["ReG"][iw]).astype(complex)
+        dReG = ((np.asarray(self.sp["ReG"][iwp])
+                 - np.asarray(self.sp["ReG"][iwm])) / denomE
+                ).astype(complex)
         mask = _pair_mask(self.hw, hwcut)
 
-        Xa = jnp.einsum("kpq,qr->kpr", jnp.asarray(self.M), dAm)
-        Yb = jnp.einsum("lrs,sp->lrp", jnp.asarray(self.M), ReG)
-        Yc = jnp.einsum("lrs,sp->lrp", jnp.asarray(self.M), dReG)
-        z1 = jnp.real(jnp.einsum("kpr,lrp->kl", Xa, Yb)) / np.pi
-        z2 = jnp.imag(jnp.einsum("kpr,lrp->kl", Xa, Yc)) / np.pi
-        z1 = np.where(mask, np.asarray(z1), 0.0)
-        z2 = np.where(mask, np.asarray(z2), 0.0)
+        Xa = np.einsum("kpq,qr->kpr", self.M, dAm)
+        Yb = np.einsum("lrs,sp->lrp", self.M, ReG)
+        Yc = np.einsum("lrs,sp->lrp", self.M, dReG)
+        z1 = np.real(np.einsum("kpr,lrp->kl", Xa, Yb)) / np.pi
+        z2 = np.imag(np.einsum("kpr,lrp->kl", Xa, Yc)) / np.pi
+        z1 = np.where(mask, z1, 0.0)
+        z2 = np.where(mask, z2, 0.0)
         zeta1 = np.tril(z1) + np.tril(z1, -1).T
         zeta2 = np.tril(z2, -1) - np.tril(z2, -1).T   # antisym, zero diag
 
@@ -419,17 +515,16 @@ class LambdaPipeline:
 
     # -- full Lambda + Pi^r ------------------------------------------------
     def full_lambda(self, hwcut, muL, muR, mu0: float = 0.0):
-        LamLL = np.asarray(self.lambda_fft("L", "L", muL, muL, hwcut))
-        LamRR = np.asarray(self.lambda_fft("R", "R", muR, muR, hwcut))
-        LamLR = np.asarray(self.lambda_fft("L", "R", muL, muR, hwcut))
-        LamRL = np.asarray(self.lambda_fft("R", "L", muR, muL, hwcut))
+        LamLL = self.lambda_fft("L", "L", muL, muL, hwcut)
+        LamRR = self.lambda_fft("R", "R", muR, muR, hwcut)
+        LamLR = self.lambda_fft("L", "R", muL, muR, hwcut)
+        LamRL = self.lambda_fft("R", "L", muR, muL, hwcut)
         LamLL, LamRR, LamLR, LamRL = domapping(
             self.E, muL, muR, LamLL, LamRR, LamLR, LamRL)
-        LamEqu = np.asarray(self.equ_lambda_fft(hwcut, mu0))
+        LamEqu = self.equ_lambda_fft(hwcut, mu0)
         LamNon, LamHNon = self.nonequ_lambda_fft(hwcut, muL, muR, mu0)
-        LamNon, LamHNon = np.asarray(LamNon), np.asarray(LamHNon)
         Lam = LamLL + LamRR + LamLR + LamRL
-        Pir = pir_from_pira(self.E, 2.0e0 * np.pi * 1j * Lam)
+        Pir = pir_from_pira(self.E, 2.0 * np.pi * 1j * Lam)
         Pir2 = 1j * np.pi * (LamEqu + LamNon - 1j * LamHNon)
         return {"wl": self.E, "LamLL": LamLL, "LamRR": LamRR,
                 "LamLR": LamLR, "LamRL": LamRL, "LamEqu": LamEqu,
@@ -524,7 +619,6 @@ def eigenanalysis(Vmax, nlen, hw, eta, xim, zeta1, zeta2):
         tmat[nm:, :nm] = np.identity(nm)
         evs = np.linalg.eigvals(tmat)
         sel = evs[evs.imag < 0]
-        order = np.argsort(-sel.imag * -1)
         sel = sel[np.argsort(sel.imag)][::-1][:nm] \
             if len(sel) >= nm else np.pad(sel, (0, nm - len(sel)))
         invQs[j, : len(sel)] = np.where(sel.imag != 0,
@@ -535,21 +629,25 @@ def eigenanalysis(Vmax, nlen, hw, eta, xim, zeta1, zeta2):
 
 def joule_heating(Vmax, nlen, hw, eta, xim, xip, zeta1, zeta2, T=4.2):
     """Bias-induced steady-state phonon occupation (lambda.py:1491-1526):
-    n(V) = n_B(hw) + [cof+ + cof-] xip_jj / (2 hw eta_jj)."""
-    hw = np.asarray(hw)
+    n(V) = n_B(hw) + [cof+ + cof-] xip_jj / (2 hw eta_jj). Fully
+    vectorised over (bias, mode)."""
+    hw = np.asarray(hw, float)
     nm = len(hw)
+    eta_d = np.diag(np.asarray(eta))
+    xip_d = np.diag(np.asarray(xip))
     blist = Vmax * np.arange(nlen) / nlen
-    nph = np.zeros((nlen, nm))
-    for i, tb in enumerate(blist):
-        for j in range(nm):
-            if hw[j] <= 0 or eta[j, j] <= 0:
-                continue
-            cofp = (hw[j] + tb) * (float(bose(hw[j] + tb, T))
-                                   - float(bose(hw[j], T)))
-            cofm = (hw[j] - tb) * (float(bose(hw[j] - tb, T))
-                                   - float(bose(hw[j], T)))
-            nph[i, j] = (cofp + cofm) * xip[j, j] / hw[j] / eta[j, j] / 2 \
-                + float(bose(hw[j], T))
+    hb = hw[None, :]                                 # (1, nm)
+    tb = blist[:, None]                              # (nlen, 1)
+    n0 = np.asarray(bose(hw, T, xp=np))[None, :]
+    cofp = (hb + tb) * (np.asarray(bose(hb + tb, T, xp=np)) - n0)
+    cofm = (hb - tb) * (np.asarray(bose(hb - tb, T, xp=np)) - n0)
+    ok = (hb > 0) & (eta_d[None, :] > 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        nph = np.where(
+            ok, (cofp + cofm) * xip_d[None, :]
+            / np.where(hb > 0, hb, 1.0)
+            / np.where(eta_d[None, :] > 0, eta_d[None, :], 1.0) / 2
+            + n0, 0.0)
     return blist, nph
 
 

@@ -92,8 +92,9 @@ class TestCorrelation:
 class TestSpectral:
     def test_sum_rule_A_equals_iGmGdag(self, rng):
         pl = small_model(rng)
-        G = np.asarray(pl.sp["G"])
-        A = np.asarray(pl.sp["A"])
+        sp = LP.spectral_functions(pl.H, pl.S, pl.E, pl.SigL, pl.SigR)
+        G = np.asarray(sp["G"])
+        A = np.asarray(sp["A"])
         want = 1j * (G - np.conjugate(np.swapaxes(G, 1, 2)))
         np.testing.assert_allclose(A, want, atol=1e-8)
 
@@ -239,3 +240,26 @@ class TestBiasAnalysis:
         sym = (Mraw[0] + Mraw[0].T) / 2
         np.testing.assert_allclose(M[0], sym * np.sqrt(0.4), atol=1e-12)
         np.testing.assert_allclose(M[1], 0.0)
+
+
+class TestEdgeGuards:
+    def test_wideband_mu0_at_grid_edge_raises(self, rng):
+        pl = small_model(rng, ne=64, emax=1.0)
+        # largest positive grid point: one-sided neighbors degenerate
+        mu_edge = float(np.max(pl.E))
+        with pytest.raises(ValueError, match="grid edge"):
+            pl.wideband(hwcut=10.0, mu0=mu_edge)
+
+    def test_jax_backend_matches_numpy(self, rng):
+        kw = dict(n=4, nm=2, ne=64)
+        pl_np = small_model(rng, **kw)
+        rng2 = np.random.default_rng(1234)
+        pl_jx = small_model(rng2, **kw)
+        pl_jx.xp = LP._get_xp("jax")
+        pl_jx.backend = "jax"
+        wb_np = pl_np.wideband(hwcut=10.0)
+        wb_jx = pl_jx.wideband(hwcut=10.0)
+        np.testing.assert_allclose(wb_jx["eta"], wb_np["eta"], rtol=1e-8)
+        lam_np = pl_np.lambda_fft("L", "R", 0.3, -0.3, 10.0)
+        lam_jx = pl_jx.lambda_fft("L", "R", 0.3, -0.3, 10.0)
+        np.testing.assert_allclose(lam_jx, lam_np, rtol=1e-7, atol=1e-12)
