@@ -445,6 +445,23 @@ class md:
     def _ckfile(self, j):
         return os.path.join(self.outdir, f"MD{j}.npz")
 
+    def _check_checkpoint(self, ck, fn):
+        """Refuse checkpoints from a different setup (stale files in a
+        shared working directory resume silently otherwise — the
+        reference has the same trap with its MD{j}.nc files)."""
+        if ck["p"].shape != (self.nph,):
+            raise ValueError(
+                f"{fn} holds a different system (nph="
+                f"{ck['p'].shape[0]} vs {self.nph}) — stale checkpoint "
+                "in the working directory? Remove it or change outdir")
+        for i, b in enumerate(self.baths):
+            key = f"noise{i}"
+            if key in ck and ck[key].shape[1] != b.nc:
+                raise ValueError(
+                    f"{fn} bath {i} noise width {ck[key].shape[1]} != "
+                    f"{b.nc} — stale checkpoint from a different bath "
+                    "setup")
+
     def dump(self, state, ipie, j, outputs=None):
         """Write the MD{j} checkpoint (reference md.dump, md.py:684-745)."""
         data = {
@@ -479,6 +496,7 @@ class md:
             ipie0 = -1
             if os.path.isfile(fn):
                 ck = np.load(fn)
+                self._check_checkpoint(ck, fn)
                 ipie = int(ck["ipie"][0])
                 if ipie + 1 < self.npie:
                     # resume unfinished run (md.py:514-534)

@@ -296,3 +296,19 @@ class TestRunEnsemble:
         assert np.isfinite(res["conductance"][0])
         # hot bath injects on average
         assert means[:, 0].mean() > means[:, 1].mean()
+
+
+class TestStaleCheckpoint:
+    def test_mismatched_checkpoint_rejected(self, tmp_path):
+        r1 = TestWrapper()._build(tmp_path, nmd=64)
+        r1.Run()
+        # a differently-sized system in the same directory must refuse
+        nat = 6
+        axyz = [["C", 1.0 * i, 0.0, 0.0] for i in range(nat)]
+        dyn = np.asarray(chain_dynmat(3 * nat, 0.05))
+        r2 = md(0.4, 64, 300.0, axyz=axyz, dyn=dyn, nstop=1,
+                dtype=jnp.float64, outdir=str(tmp_path))
+        r2.AddBath(B.ebath(range(3), 300.0, 0.4, 64, wmax=1.0,
+                           efric=np.eye(3) / 80.0, dtype=jnp.float64))
+        with pytest.raises(ValueError, match="stale checkpoint"):
+            r2.Run()
