@@ -381,6 +381,22 @@ class md:
     def noranvel(self, rf=False):
         self.initranvel = rf
 
+    def SetSyslist(self, syslist):
+        """Reset the system-atom list (md.py:238-248)."""
+        self.syslist = np.asarray(syslist, dtype=np.int64)
+        self.na = len(self.syslist)
+        self.nph = 3 * self.na
+        if self.nta is not None and self.na > self.nta:
+            raise ValueError("system atom number larger than total")
+
+    def ResetHis(self):
+        """Zeroed history rings as a fresh MDState (md.py:340-349)."""
+        return initial_state(self._build_system(), dtype=self.dtype)
+
+    def ResetSavepq(self):
+        """No-op parity shim (md.py:153-157): per-step series are scan
+        outputs here, not preallocated buffers."""
+
     def CompareForce(self, forcedriver):
         self.cf = True
         self.forcedriver = forcedriver
