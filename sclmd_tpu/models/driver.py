@@ -52,18 +52,21 @@ class JaxDriver:
         mass = np.array([U.AtomicMassTable[e] for e in self.els])
         self.conv = self.md2ang * np.repeat(1.0 / np.sqrt(mass), 3)
 
-        xyz_j = jnp.asarray(self.xyz, dtype)
-        conv_j = jnp.asarray(self.conv, dtype)
+        # closures hold HOST numpy constants only (device-array closure
+        # constants break on some TPU tunnels, see CLAUDE.md)
+        xyz_h = np.asarray(self.xyz, np.float64 if dtype == jnp.float64
+                           else np.float32)
+        conv_h = np.asarray(self.conv, xyz_h.dtype)
         na = self.number
 
         def _abs_force(q):
-            x = (xyz_j + conv_j * q).reshape(na, 3)
+            x = (xyz_h + conv_h * q).reshape(na, 3)
             f = -jax.grad(lambda xx: energy_fn(xx))(x).reshape(-1)
-            return conv_j * f
+            return conv_h * f
 
         self._abs_force = jax.jit(_abs_force)
         self._energy = jax.jit(
-            lambda q: energy_fn((xyz_j + conv_j * q).reshape(na, 3)))
+            lambda q: energy_fn((xyz_h + conv_h * q).reshape(na, 3)))
         self.initforce()
 
     # --- reference driver protocol ---

@@ -49,7 +49,11 @@ def _compile(target: str, sources, extra=()):
         return out
     cmd = ["g++", "-O3", "-march=native", "-std=c++17"] + list(extra) + \
         srcs + ["-o", out]
-    subprocess.run(cmd, check=True, capture_output=True)
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            "native build failed: " + " ".join(cmd) + "\n"
+            + proc.stderr[-4000:])
     return out
 
 
@@ -210,6 +214,8 @@ class SocketDriver:
             raise RuntimeError("force_server did not come up")
 
         kind = potential[0]
+        if kind not in ("lj", "morse"):
+            raise ValueError(f"unknown potential kind {kind!r}")
         which = 1 if kind == "lj" else 2
         params = list(potential[1:]) + [0.0] * (4 - len(potential[1:]))
         cellv = np.zeros(3) if cell is None else np.asarray(cell, float)
@@ -287,6 +293,8 @@ class PipeDriver(SocketDriver):
                                      stderr=subprocess.DEVNULL)
         self.sock = None
         kind = potential[0]
+        if kind not in ("lj", "morse"):
+            raise ValueError(f"unknown potential kind {kind!r}")
         which = 1 if kind == "lj" else 2
         params = list(potential[1:]) + [0.0] * (4 - len(potential[1:]))
         cellv = np.zeros(3) if cell is None else np.asarray(cell, float)

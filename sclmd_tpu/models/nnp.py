@@ -226,10 +226,23 @@ class deepmddriver:
     """
 
     def __init__(self, model, axyz, md2ang=0.06466, dtype=jnp.float32):
-        from sclmd_tpu.models.driver import JaxDriver
-        self._drv = JaxDriver(model.energy_fn(), axyz, md2ang=md2ang,
-                              dtype=dtype)
         self.model = model
+        self._md2ang = md2ang
+        self._dtype = dtype
+        self._axyz = axyz
+        self.refresh()
+
+    def refresh(self):
+        """Rebind the driver to the model's CURRENT parameters.
+
+        The jitted force path captures parameters at trace time, so a
+        driver built before ``model.fit`` would silently keep the
+        untrained network — call refresh() (or construct the driver)
+        AFTER training.
+        """
+        from sclmd_tpu.models.driver import JaxDriver
+        self._drv = JaxDriver(self.model.energy_fn(), self._axyz,
+                              md2ang=self._md2ang, dtype=self._dtype)
         for attr in ("axyz", "conv", "xyz", "els", "number", "f0"):
             setattr(self, attr, getattr(self._drv, attr))
 

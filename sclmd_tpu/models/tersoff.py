@@ -87,8 +87,9 @@ def tersoff_energy_multi(elements, neighbors, nmask,
     def mix_sqrt(key):
         return per_pair(lambda a, b: np.sqrt(table[a][key] * table[b][key]))
 
+    # Tersoff 1989 applies chi only to the attractive B term, not A
     A_ij = jnp.asarray(per_pair(
-        lambda a, b: _chi(a, b) ** 0 * np.sqrt(table[a]["A"] * table[b]["A"])))
+        lambda a, b: np.sqrt(table[a]["A"] * table[b]["A"])))
     B_ij = jnp.asarray(per_pair(
         lambda a, b: _chi(a, b) * np.sqrt(table[a]["B"] * table[b]["B"])))
     l1_ij = jnp.asarray(mix_avg("lam1"))
@@ -102,6 +103,9 @@ def tersoff_energy_multi(elements, neighbors, nmask,
     d_i = jnp.asarray(per_atom("d"))[:, None, None]
     h_i = jnp.asarray(per_atom("h"))[:, None, None]
     gamma_i = jnp.asarray(per_atom("gamma"))[:, None, None]
+    lam3_np = per_atom("lam3")
+    l3_i = jnp.asarray(lam3_np)[:, None, None]
+    m_i = jnp.asarray(per_atom("m"))[:, None, None]
     # cutoff of the i-k leg inside zeta uses R_ik of the (i, k) pair
     nbr_j = jnp.asarray(nbr)
     mask_j = jnp.asarray(mask)
@@ -127,9 +131,16 @@ def tersoff_energy_multi(elements, neighbors, nmask,
         cos_ijk = jnp.einsum("ija,ika->ijk", rhat, rhat)
         g = gamma_i * (1.0 + c_i ** 2 / d_i ** 2
                        - c_i ** 2 / (d_i ** 2 + (h_i - cos_ijk) ** 2))
+        # lam3/m exponential of the CENTER atom (matches the
+        # single-element kernel; built-in C/Si/Ge sets have lam3=0)
+        if np.any(lam3_np != 0.0):
+            rik = rij[:, None, :]
+            expo = jnp.exp((l3_i * (rij[:, :, None] - rik)) ** m_i)
+        else:
+            expo = 1.0
         fck = fcij[:, None, :]
         notself = ~jnp.eye(nbr_j.shape[1], dtype=bool)[None]
-        zeta = jnp.sum(jnp.where(notself, fck * g, 0.0), axis=-1)
+        zeta = jnp.sum(jnp.where(notself, fck * g * expo, 0.0), axis=-1)
 
         bz = beta_i * zeta
         bz_safe = jnp.where(bz > 0, bz, 1.0)
@@ -213,9 +224,9 @@ def tersoff_energy(element: str, neighbors, nmask,
 
 
 def graphene_ribbon(nx: int, ny: int, a: float = 1.42):
-    """Generate an armchair graphene-ribbon geometry (na, 3) — a
-    programmatic stand-in for the reference's structure.data junction.
-    Returns (positions angstrom, cell or None)."""
+    """Generate an armchair graphene-ribbon geometry — a programmatic
+    stand-in for the reference's structure.data junction. Returns the
+    (na, 3) positions array in angstrom (open boundaries)."""
     pos = []
     dx = 1.5 * a
     dy = np.sqrt(3) * a
@@ -241,7 +252,11 @@ class TersoffDriver:
         table = params or TERSOFF_PARAMS
         if len(uniq) == 1:
             element = element or uniq[0]
-            pcut = table[element] if element in table else table
+            if element not in table:
+                raise NotImplementedError(
+                    f"no Tersoff parameters for element {element!r}; "
+                    "supply params=")
+            pcut = table[element]
             nbr, mask = build_neighbors(x0, pcut["R"] + pcut["D"],
                                         max_nnei, cell=cell,
                                         skin=cutoff_skin)

@@ -32,8 +32,17 @@ from sclmd_tpu.ops.functions import (
 )
 
 
+def _check_even(nmd: int):
+    if nmd % 2 != 0:
+        raise ValueError(
+            f"nmd must be even for the Hermitian-mirror noise synthesis "
+            f"(got {nmd}); the reference's myfft length check catches "
+            "the same case")
+
+
 def halfspectrum_freqs(dt: float, nmd: int, dtype=jnp.float32) -> jax.Array:
     """Positive-frequency grid w_i = i * dw, i = 0..nmd/2 (noise.py:64-77)."""
+    _check_even(nmd)
     hlen = nmd // 2
     dw = 2.0 * np.pi / dt / nmd
     return dw * jnp.arange(hlen + 1, dtype=dtype)
@@ -122,6 +131,7 @@ def sample_noise(key: jax.Array, evecs, std, dt: float,
     EAGER complex ops can neither transfer to host nor be embedded as
     jit constants — keep the whole sampling pipeline inside one jit.
     """
+    _check_even(nmd)
     evecs = jnp.asarray(evecs)
     std = jnp.asarray(std)
     r = jax.random.normal(key, std.shape, dtype=std.dtype) * std
@@ -137,6 +147,7 @@ def sample_noise_np(rng: np.random.Generator, evecs, std, dt: float,
     Same statistics; used where device buffers cannot round-trip (tunnel
     backends) or for deterministic host-side reproduction.
     """
+    _check_even(nmd)
     evecs = np.asarray(evecs)
     std = np.asarray(std, np.float64)
     r = rng.standard_normal(std.shape) * std

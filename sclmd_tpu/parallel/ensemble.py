@@ -107,9 +107,11 @@ def shard_ensemble(mesh: Mesh, system: GLESystem, states: MDState,
 
 
 def sharded_ensemble_run(mesh: Mesh, system: GLESystem, states: MDState,
-                         nsteps: int, dp: str = "dp",
+                         nsteps: int, t0: int = 0, dp: str = "dp",
                          tp: Optional[str] = None):
-    """Shard, then run: the jitted batched scan partitions over the mesh."""
+    """Shard, then run: the jitted batched scan partitions over the mesh.
+    ``t0`` is the trajectories' current step offset (mod nmd) so the
+    noise stream stays aligned across successive segments."""
     system, states = shard_ensemble(mesh, system, states, dp=dp, tp=tp)
     with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
-        return ensemble_run(system, states, nsteps)
+        return ensemble_run(system, states, nsteps, t0=t0)

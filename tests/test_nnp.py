@@ -138,3 +138,21 @@ class TestDriverIntegration:
         drv = deepmddriver(m, axyz, dtype=jnp.float64)
         d = np.asarray(drv.dynmat())
         np.testing.assert_allclose(d, d.T, atol=1e-12)
+
+
+class TestDriverRefresh:
+    def test_refresh_picks_up_trained_params(self, model, rng):
+        m, x = model
+        axyz = [["C", *row] for row in x]
+        drv = deepmddriver(m, axyz, dtype=jnp.float64)
+        # non-trivial displacement (a uniform q is a pure translation
+        # and gives zero force for ANY network)
+        q = rng.normal(size=3 * len(x)) * 0.02
+        f_before = np.asarray(drv.force(q))
+        # retrain to different parameters
+        m.params = m.init_params(jax.random.PRNGKey(123))
+        f_stale = np.asarray(drv.force(q))
+        np.testing.assert_allclose(f_stale, f_before)   # captured at trace
+        drv.refresh()
+        f_after = np.asarray(drv.force(q))
+        assert not np.allclose(f_after, f_before)
