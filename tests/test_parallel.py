@@ -73,7 +73,28 @@ def test_sharded_run_matches_unsharded(key, tp):
 
 def test_graft_dryrun():
     import __graft_entry__ as ge
-    ge.dryrun_multichip(8)
+    ge._dryrun_impl(8)
+
+
+def test_graft_dryrun_driver_path():
+    """The driver's actual call path: a fresh process WITHOUT the conftest
+    rewiring or any virtual-device env, where jax would default to the
+    real backend. dryrun_multichip must self-configure the virtual CPU
+    mesh (round-1 MULTICHIP failure mode)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = ""  # simulate the driver env: no virtual devices
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = "import __graft_entry__ as g; g.dryrun_multichip(8)"
+    r = subprocess.run([sys.executable, "-c", code], cwd=repo, env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, f"rc={r.returncode}\n{r.stderr[-3000:]}"
+    assert "dryrun_multichip OK" in r.stdout
+    assert "output sharded over 8 devices" in r.stdout
 
 
 def test_graft_entry_compiles():
