@@ -477,6 +477,15 @@ class md:
                     f"{fn} bath {i} noise width {ck[key].shape[1]} != "
                     f"{b.nc} — stale checkpoint from a different bath "
                     "setup")
+        if "nmd" in ck and int(ck["nmd"][0]) != self.nmd:
+            raise ValueError(
+                f"{fn} was written with nmd={int(ck['nmd'][0])} but this "
+                f"run has nmd={self.nmd} — stale checkpoint")
+        if "dt" in ck and not np.isclose(float(ck["dt"][0]), self.dt,
+                                         rtol=1e-12):
+            raise ValueError(
+                f"{fn} was written with dt={float(ck['dt'][0])} but this "
+                f"run has dt={self.dt} — stale checkpoint")
 
     def dump(self, state, ipie, j, outputs=None):
         """Write the MD{j} checkpoint (reference md.dump, md.py:684-745)."""
@@ -484,6 +493,7 @@ class md:
             "p": np.asarray(state.p), "q": np.asarray(state.q),
             "t": np.asarray([int(state.t)]),
             "ipie": np.asarray([ipie]),
+            "nmd": np.asarray([self.nmd]), "dt": np.asarray([self.dt]),
             "phis": np.asarray(state.phis), "qhis": np.asarray(state.qhis),
         }
         for i, b in enumerate(self.baths):

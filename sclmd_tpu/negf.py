@@ -393,7 +393,11 @@ class bpt:
                                            batch_size=self.batch_size))
         f = self.rpc * ws / (2 * np.pi) * integrand
         return float(np.trapezoid(f, ws)) * 1.60217662e2
-        """v_sim phonon-mode file (negf.py:279-298)."""
+
+    def write_v_sim(self, filename="anime.ascii"):
+        """v_sim 3.7 phonon-mode file (negf.py:279-298): box, positions,
+        and every eigenmode as a #metaData qpt block with mass-unweighted
+        displacement vectors."""
         if self.els is None or self.xyz is None or self.boxhi is None:
             raise ValueError("write_v_sim needs els/xyz/box metadata")
         from sclmd_tpu.units import get_atomname

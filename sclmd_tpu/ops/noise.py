@@ -64,10 +64,13 @@ def electron_psd(wl, efric, exim, exip, bias, T, ecut,
     efric = xp.asarray(efric)
     exip = xp.asarray(exip)
     exim = xp.asarray(exim)
+    # equ_spectrum takes a FREQUENCY (it applies HBAR internally), so the
+    # bias shift enters as w -+ V/hbar (noise.py:174-185). All three call
+    # sites are dimensionally consistent for any HBAR.
     aw = delta * equ_spectrum(wl, ecut, T, classical, zpmotion, xp=xp)
-    awm = delta * equ_spectrum(U.HBAR * wl - bias, ecut, T, classical,
+    awm = delta * equ_spectrum(wl - bias / U.HBAR, ecut, T, classical,
                                zpmotion, xp=xp)
-    awp = delta * equ_spectrum(U.HBAR * wl + bias, ecut, T, classical,
+    awp = delta * equ_spectrum(wl + bias / U.HBAR, ecut, T, classical,
                                zpmotion, xp=xp)
 
     aw_ = aw[..., None, None]

@@ -68,10 +68,12 @@ def surface_gf(omega, e, s, alpha, eta: float = 0.164e-3 / U.RPC,
     return g_surf, niter, converged
 
 
-def surface_gf_np(omega, e, s, alpha, eta: float = 1e-5,
+def surface_gf_np(omega, e, s, alpha, eta: float = 0.164e-3 / U.RPC,
                   tol: float = 1e-8, max_iter: int = 100):
     """Host NumPy twin of ``surface_gf`` for setup paths (bath builders
-    cannot round-trip complex arrays through some TPU tunnels)."""
+    cannot round-trip complex arrays through some TPU tunnels). Same
+    default eta as ``surface_gf`` (the reference's 0.164e-3 eV / rpc,
+    selfenergy.py:9,18)."""
     z2 = (omega + 1j * eta) ** 2
     eye = np.eye(len(e))
     s = np.asarray(s, complex).copy()

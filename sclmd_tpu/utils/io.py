@@ -161,6 +161,53 @@ def reordxyz(anr, xyz, ord):
     return [anr[i] for i in nl], [xyz[i] for i in nl]
 
 
+def cutlayers(xyz, nalayer, nl, nr, anr=None, snr=None, pbc=None,
+              ord=None):
+    """Cut ``nl`` leading and ``nr`` trailing layers off a layered
+    structure for MD (myio.py:12-61 — dead commented-out code in the
+    reference; resurrected here array-based: the Inelastica ``Geom``
+    object becomes plain arrays).
+
+    xyz : (na, 3) positions, layer-ordered along z.
+    nalayer : atoms per layer; nl/nr : layers removed from the two ends.
+    anr/snr : optional per-atom labels that travel with the atoms.
+    pbc : optional (3, 3) cell — its z-extent shrinks by the removed
+        length, as in the reference.
+    ord : optional 1-based atom reordering applied first (reordxyz).
+
+    Returns a dict with keys xyz, anr, snr, pbc (absent inputs -> None).
+    """
+    xyz = np.asarray(xyz, dtype=float)
+    na = len(xyz)
+    anr = None if anr is None else list(anr)
+    snr = None if snr is None else list(snr)
+    if ord is not None:
+        if anr is None:
+            anr = list(range(1, na + 1))
+        anr, xyz = reordxyz(anr, list(xyz), ord)
+        xyz = np.asarray(xyz, dtype=float)
+        if snr is not None:
+            _, snr = reordxyz(list(range(len(snr))), snr, ord)
+    nal, nar = nl * nalayer, nr * nalayer
+    if nal + nar >= na:
+        raise ValueError(
+            f"cutlayers: cutting {nal}+{nar} atoms from {na}")
+    olen = xyz[:, 2].max() - xyz[:, 2].min()
+    keep = slice(nal, na - nar)
+    nxyz = xyz[keep]
+    nlen = nxyz[:, 2].max() - nxyz[:, 2].min()
+    npbc = None
+    if pbc is not None:
+        npbc = np.array(pbc, dtype=float)
+        npbc[2][2] = npbc[2][2] - (olen - nlen)
+    return {
+        "xyz": nxyz,
+        "anr": None if anr is None else anr[keep.start:keep.stop],
+        "snr": None if snr is None else snr[keep.start:keep.stop],
+        "pbc": npbc,
+    }
+
+
 def ReadDynmat(filename, order=None):
     """Phonon-run eigendata -> real-space dynamical matrix
     (myio.py:214-253): D = U^T diag(hw^2) U, symmetrised; columns

@@ -111,3 +111,29 @@ class TestLambda:
                      dtype=jnp.float64)
         assert eb.bias_terms
         assert float(eb.bias) == pytest.approx(0.5)
+
+
+class TestCutlayers:
+    def test_cut_and_cell_shrink(self):
+        # 6 layers of 2 atoms along z, spacing 1.0
+        na, nalayer = 12, 2
+        xyz = np.array([[0.1 * i, 0.0, i // nalayer * 1.0]
+                        for i in range(na)])
+        pbc = np.diag([5.0, 5.0, 10.0])
+        anr = list(range(1, na + 1))
+        out = MIO.cutlayers(xyz, nalayer, nl=1, nr=2, anr=anr, pbc=pbc)
+        assert out["xyz"].shape == (6, 3)
+        # atoms 2..7 remain (first layer + last two layers cut)
+        assert out["anr"] == [3, 4, 5, 6, 7, 8]
+        np.testing.assert_allclose(out["xyz"][0, 2], 1.0)
+        np.testing.assert_allclose(out["xyz"][-1, 2], 3.0)
+        # z extent shrank 5.0 -> 2.0, cell follows (myio.py:40-48)
+        np.testing.assert_allclose(out["pbc"][2][2], 10.0 - 3.0)
+        # x/y cell untouched
+        np.testing.assert_allclose(out["pbc"][0][0], 5.0)
+
+    def test_cut_too_many_raises(self):
+        xyz = np.zeros((4, 3))
+        xyz[:, 2] = np.arange(4)
+        with pytest.raises(ValueError, match="cutlayers"):
+            MIO.cutlayers(xyz, 1, nl=2, nr=2)

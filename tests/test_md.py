@@ -312,3 +312,10 @@ class TestStaleCheckpoint:
                            efric=np.eye(3) / 80.0, dtype=jnp.float64))
         with pytest.raises(ValueError, match="stale checkpoint"):
             r2.Run()
+
+    def test_mismatched_nmd_rejected(self, tmp_path):
+        r1 = TestWrapper()._build(tmp_path, nmd=64)
+        r1.Run()
+        r2 = TestWrapper()._build(tmp_path, nmd=128)
+        with pytest.raises(ValueError, match="stale checkpoint"):
+            r2.Run()

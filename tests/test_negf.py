@@ -250,3 +250,47 @@ class TestLesserGreater:
         b = bpt(d / U.RPC ** 2, 0.7, damp, [[0], [7]], num=100)
         j = b.leadthermalcurrent(300.0, 300.0, lead="L")
         assert abs(j) < 1e-10
+
+
+class TestWriteVSim:
+    def test_golden_format(self, tmp_path):
+        """write_v_sim golden-format check (ref negf.py:279-298): header,
+        box rows, one position row per atom, one #metaData block per
+        mode with mass-unweighted displacements."""
+        k, damp = 0.1, 20.0
+        nat = 3
+        n = 3 * nat
+        d = np.zeros((n, n))
+        for i in range(n - 1):
+            d[i, i] += k; d[i + 1, i + 1] += k
+            d[i, i + 1] -= k; d[i + 1, i] -= k
+        els = np.repeat([12.011] * nat, 3)          # carbon masses per DOF
+        xyz = np.arange(n, dtype=float)
+        b = bpt(d / U.RPC ** 2, 0.7, damp, [[0], [n - 1]], num=5,
+                els=els, xyz=xyz, boxlo=[0.0, 0.0, 0.0],
+                boxhi=[10.0, 11.0, 12.0])
+        fn = tmp_path / "anime.ascii"
+        b.write_v_sim(str(fn))
+        lines = fn.read_text().splitlines()
+        assert lines[0] == "# Generated file for v_sim 3.7"
+        np.testing.assert_allclose(
+            [float(x) for x in lines[1].split()], [10.0, 0.0, 11.0])
+        np.testing.assert_allclose(
+            [float(x) for x in lines[2].split()], [0.0, 0.0, 12.0])
+        # one position row per atom, element name resolved from the mass
+        assert lines[3].split()[-1] == "C"
+        assert len([ln for ln in lines if ln.startswith("#metaData")]) == n
+        # each mode block: natoms displacement rows + closing "# ]"
+        assert len([ln for ln in lines if ln.startswith("#;")]) == n * nat
+        assert lines[-1] == "# ]"
+        # displacement rows are eigvec / sqrt(mass) (negf.py:292-295)
+        first_disp = [float(x) for x in
+                      lines[3 + nat + 1].lstrip("#;").split(";")[:3]]
+        want = b.eigvecs[0, :3] / 12.011 ** 0.5
+        np.testing.assert_allclose(first_disp, want, atol=5e-7)
+
+    def test_missing_metadata_raises(self):
+        d = np.eye(6) * 0.1
+        b = bpt(d / U.RPC ** 2, 0.7, 20.0, [[0], [5]], num=5)
+        with pytest.raises(ValueError, match="write_v_sim"):
+            b.write_v_sim("nowhere.ascii")
