@@ -455,6 +455,35 @@ class PhBath:
             conv = conv + plan[:, 1]
         return noise_row - conv * self.dt
 
+    # --- blocked-convolution fast path (md.run_segment_blocked) -----------
+    # Per B-step block the convolution splits into (a) a pre-block part
+    # over taps j > s, one FFT cross-correlation of the (static) kernel
+    # with the history — the big kernel matrix is read ONCE per block
+    # instead of once per step — and (b) an in-block part over taps
+    # j <= s against a tiny (B, nc) ring of recent velocities.
+    def block_tap_kernel(self, block: int):
+        """(nc, (block+1)*nc) kernel slice covering in-block taps
+        1..block+1, zero-padded past ml."""
+        nc = self.nc
+        want = (block + 1) * nc
+        avail = self.kernel_im[:, nc:]          # taps 1..ml-1
+        if avail.shape[1] >= want:
+            return avail[:, :want]
+        return jnp.pad(avail, ((0, 0), (0, want - avail.shape[1])))
+
+    def block_corr(self, hist, block: int, khat, nfft: int):
+        """Pre-block convolution tails O[s] = sum_{j>=s+1} K[j] v(t0+s-j)
+        for s = 0..block, from ``hist`` (ml-1, nc) = pre-block velocities
+        newest-first (hist[i] = v(t0-1-i)).
+
+        Computed as a circular cross-correlation via rfft/irfft with the
+        kernel spectrum ``khat`` = rfft(zero-padded kernel); nfft >=
+        ml+block+1 keeps it linear. Returns (block+1, nc)."""
+        hhat = jnp.fft.rfft(hist, n=nfft, axis=0)          # (nf, nc)
+        prod = jnp.einsum("fab,fb->fa", khat, jnp.conjugate(hhat))
+        corr = jnp.fft.irfft(prod, n=nfft, axis=0)         # (nfft, nc)
+        return corr[1:block + 2]
+
 
 def _kernel_im(kernel: jax.Array) -> jax.Array:
     """(ml, nc, nc) -> (nc, ml*nc) layout so the history convolution is a

@@ -227,6 +227,195 @@ def run_segment(system: GLESystem, state: MDState, nsteps: int,
     return jax.lax.scan(partial(vv_step, system), state, xs, length=nsteps)
 
 
+def _noise_rows(noise, nmd: int, t0: int, off: int, nsteps: int):
+    """Noise rows (t0+off .. t0+off+nsteps-1) mod nmd as a static
+    roll+slice (see run_segment)."""
+    if nsteps > nmd:
+        reps = -(-(nsteps + 1) // nmd) + 1
+        noise = jnp.tile(noise, (reps, 1))
+    return jnp.roll(noise, -(t0 + off), axis=0)[:nsteps]
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (int(n) - 1).bit_length()
+
+
+@partial(jax.jit, static_argnames=("nsteps", "t0", "block"))
+def run_segment_blocked(system: GLESystem, state: MDState, nsteps: int,
+                        t0: int = 0, block: int = 64):
+    """``run_segment`` with a blocked memory-kernel convolution.
+
+    Identical trajectories (up to float summation order), much less HBM
+    traffic for long kernels: per block of ``block`` steps the friction
+    convolution splits into
+
+    * a pre-block part over taps j > s — ONE FFT cross-correlation of
+      the kernel with the pre-block history per block (the (ml*nc, nc)
+      kernel matrix is read once per block instead of once per step,
+      and never per-trajectory), and
+    * an in-block part over taps j <= s — a (block, nc) ring of recent
+      velocities against a small kernel slice, with the predictor/
+      corrector tails sharing one matmul (same trick as
+      PhBath.step_plan).
+
+    The full (ml, nph) history ring is never shifted per step; per-bath
+    (ml-1, nc) histories update once per block. This is the TPU answer
+    to the reference's per-step O(ml*nc^2) host convolution
+    (baths.py:448-458) at production kernel lengths.
+    """
+    from sclmd_tpu.baths import EBath, PhBath
+
+    if nsteps % block:
+        raise ValueError(f"nsteps={nsteps} must be a multiple of "
+                         f"block={block}")
+    nmd = system.nmd
+    nblocks = nsteps // block
+    t0 = t0 % nmd
+    dt = system.dt
+    dtype = state.p.dtype
+    nph = system.nph
+
+    # static per-bath plans (traced leaves; loop-invariant in the scans)
+    plans = []
+    hists = []
+    for b in system.baths:
+        nonlocal_ph = isinstance(b, PhBath) and b.ml > 1
+        if nonlocal_ph:
+            nfft = _next_pow2(b.ml + block + 2)
+            kpad = jnp.pad(b.kernel, ((0, nfft - b.ml), (0, 0), (0, 0)))
+            plans.append({
+                "khat": jnp.fft.rfft(kpad, axis=0),
+                "kin": b.block_tap_kernel(block),
+                "nfft": nfft,
+            })
+            hists.append(state.phis[: b.ml - 1, b.cids])
+        else:
+            plans.append(None)
+            hists.append(None)
+    hists = tuple(hists)
+
+    # noise streams: (nblocks, block, nc) per bath and step offset
+    xs_outer = tuple(
+        (_noise_rows(b.noise, nmd, t0, 0, nsteps).reshape(
+            nblocks, block, -1),
+         _noise_rows(b.noise, nmd, t0, 1, nsteps).reshape(
+             nblocks, block, -1))
+        for b in system.baths)
+
+    def scatter(b, f_local):
+        return jnp.zeros((nph,), f_local.dtype).at[b.cids].set(f_local)
+
+    def inner(carry, xs):
+        p, q, qprev, rings = carry
+        etot = 0.5 * jnp.dot(p, p)
+        pf = system.potential_force(q)
+        fbaths = []
+        corr_bases = []
+        for i, b in enumerate(system.baths):
+            n0, n1, op, oc = xs[i]
+            p_c = p[b.cids]
+            if plans[i] is not None:
+                nc = b.nc
+                z1 = jnp.zeros((1, nc), dtype)
+                S = jnp.stack([jnp.concatenate([rings[i], z1], 0),
+                               jnp.concatenate([z1, rings[i]], 0)],
+                              axis=2)
+                tails = plans[i]["kin"] @ S.reshape((block + 1) * nc, 2)
+                conv = b.kernel[0] @ p_c + tails[:, 0] + op
+                fb_local = n0 - conv * dt
+                corr_bases.append(b.kernel[1] @ p_c + tails[:, 1] + oc)
+            elif isinstance(b, EBath):
+                fb_local = b._markov_force(n0, p_c, q[b.cids])
+                corr_bases.append(None)
+            else:  # local phonon bath (ml == 1)
+                fb_local = n0 - b.kernel[0] @ p_c
+                corr_bases.append(None)
+            fbaths.append(scatter(b, fb_local))
+        f = pf
+        for fb in fbaths:
+            f = f + fb
+        pthalf = p + f * (dt / 2.0)
+        qtt = q + p * dt + f * (dt * dt / 2.0)
+        cur = jnp.stack([jnp.dot(fb, p) for fb in fbaths]) if fbaths \
+            else jnp.zeros((0,), dtype)
+
+        pf2 = system.potential_force(qtt)
+
+        def bath_sum(pt):
+            out = pf2
+            for i, b in enumerate(system.baths):
+                n1 = xs[i][1]
+                pt_c = pt[b.cids]
+                if plans[i] is not None:
+                    fl = n1 - (b.kernel[0] @ pt_c + corr_bases[i]) * dt
+                elif isinstance(b, EBath):
+                    fl = b._markov_force(n1, pt_c, qtt[b.cids])
+                else:
+                    fl = n1 - b.kernel[0] @ pt_c
+                out = out + scatter(b, fl)
+            return out
+
+        ptt1 = pthalf + (dt / 2.0) * bath_sum(pthalf)
+        f_last = bath_sum(ptt1)
+        ptt2 = pthalf + (dt / 2.0) * f_last
+        ptt2 = ptt2 * system.mask
+        qtt = qtt * system.mask
+
+        new_rings = tuple(
+            rpadleft(rings[i], p[b.cids]) if plans[i] is not None else None
+            for i, b in enumerate(system.baths))
+        out = {"etot": etot, "cur": cur}
+        if system.savep:
+            out["ps"] = p
+        if system.saveq:
+            out["qs"] = q
+        if system.savef:
+            out["fbaths"] = jnp.stack(fbaths) if fbaths else None
+            out["f"] = f_last
+        if system.cf_fn is not None:
+            out["cf"] = system.cf_fn(q) + system.dyn @ q
+        return (ptt2, qtt, q, new_rings), out
+
+    def outer(carry, xs_blk):
+        p, q, qprev, bhists = carry
+        xs_inner = []
+        for i, b in enumerate(system.baths):
+            n0, n1 = xs_blk[i]
+            if plans[i] is not None:
+                O = b.block_corr(bhists[i], block, plans[i]["khat"],
+                                 plans[i]["nfft"])
+                xs_inner.append((n0, n1, O[:block], O[1:block + 1]))
+            else:
+                xs_inner.append((n0, n1, None, None))
+        rings = tuple(
+            jnp.zeros((block, b.nc), dtype) if plans[i] is not None
+            else None for i, b in enumerate(system.baths))
+        (p, q, qprev, rings), ys = jax.lax.scan(
+            inner, (p, q, qprev, rings), tuple(xs_inner), length=block)
+        new_hists = tuple(
+            jnp.concatenate([rings[i], bhists[i]], 0)[: b.ml - 1]
+            if plans[i] is not None else None
+            for i, b in enumerate(system.baths))
+        return (p, q, qprev, new_hists), ys
+
+    carry0 = (state.p, state.q, state.qhis[0], hists)
+    (p, q, qprev, hists_f), ys = jax.lax.scan(
+        outer, carry0, xs_outer, length=nblocks)
+    ys = jax.tree_util.tree_map(
+        lambda a: a.reshape((nsteps,) + a.shape[2:]), ys)
+
+    # reconstruct a plain-path-compatible state: phis columns outside the
+    # bath DOFs are never read by any force rule, so zeros there resume
+    # identically under vv_step/run_segment
+    phis = jnp.zeros((system.ml, nph), dtype)
+    for i, b in enumerate(system.baths):
+        if hists_f[i] is not None:
+            phis = phis.at[: b.ml - 1, b.cids].set(hists_f[i])
+    final = MDState(t=state.t + nsteps, p=p, q=q, phis=phis,
+                    qhis=qprev[None])
+    return final, ys
+
+
 # ---------------------------------------------------------------------------
 # Dynamical-matrix setup
 # ---------------------------------------------------------------------------

@@ -25,7 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sclmd_tpu.md import GLESystem, MDState, initial_state, run_segment, \
-    thermal_init
+    run_segment_blocked, thermal_init
 
 
 def make_mesh(axis_sizes: dict[str, int],
@@ -72,14 +72,21 @@ def _system_axes(system: GLESystem):
 
 
 def ensemble_run(system: GLESystem, states: MDState, nsteps: int,
-                 t0: int = 0):
+                 t0: int = 0, block: Optional[int] = None):
     """Run nsteps of GLE MD for the whole batch (one compiled program).
 
     ``t0``: static segment offset (mod nmd) — must equal the trajectories'
     current step count, as in md.run_segment.
+    ``block``: use the blocked-convolution integrator
+    (md.run_segment_blocked) with this block size — the fast path for
+    long memory kernels; the kernel FFT is shared across the batch.
     """
-    return jax.vmap(partial(run_segment, nsteps=nsteps, t0=t0),
-                    in_axes=(_system_axes(system), 0))(system, states)
+    if block is None:
+        fn = partial(run_segment, nsteps=nsteps, t0=t0)
+    else:
+        fn = partial(run_segment_blocked, nsteps=nsteps, t0=t0,
+                     block=block)
+    return jax.vmap(fn, in_axes=(_system_axes(system), 0))(system, states)
 
 
 def shard_ensemble(mesh: Mesh, system: GLESystem, states: MDState,
