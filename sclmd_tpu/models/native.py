@@ -334,15 +334,18 @@ class PipeDriver(SocketDriver):
 
 
 class SiestaDriver:
-    """Siesta DFT escape hatch: fdf generation + external-process force
-    protocol (siestadriver.py:55-155). Running it requires a ``siesta``
-    binary on PATH; the fdf writer and the driver protocol are fully
-    functional without one.
+    """Siesta DFT escape hatch: fdf generation + the full fsiesta force
+    protocol (siestadriver.py:55-155). The wire protocol lives in
+    models.fsiesta (socket or FIFO-pipe transport, the two pysiesta
+    Makefile builds); running real Siesta requires the binary on PATH
+    (gated in ``start``), but the complete force path — ``newx``/
+    ``absforce``/``initforce``/``force`` speaking fsiesta — is testable
+    against models.fsiesta.MockFsiestaServer.
     """
 
     def __init__(self, label, axyz, cell=None, meshcutoff=200.0,
                  dmtol=1e-4, constraints=(), port=10001,
-                 md2ang=U.MD2ANG):
+                 interface="socket", md2ang=U.MD2ANG):
         self.label = label
         self.axyz = axyz
         self.els = [a[0] for a in axyz]
@@ -355,7 +358,9 @@ class SiestaDriver:
         self.dmtol = dmtol
         self.constraints = list(constraints)
         self.port = port
+        self.interface = interface
         self.proc = None
+        self.client = None
         self.f0 = None
 
     def genfdf(self, tdir="./", comm_type="socket"):
@@ -385,18 +390,70 @@ class SiestaDriver:
             fn.write("%include " + tdir + "Default.fdf\n")
         return fname
 
-    def start(self, npc=1):
-        import shutil
-        if shutil.which("siesta") is None:
-            raise RuntimeError(
-                "siesta binary not found on PATH; SiestaDriver.start is "
-                "an external-DFT escape hatch (use NativeDriver/"
-                "SocketDriver or JAX potentials on-device instead)")
-        launcher = (f"mpirun -np {npc} siesta < {self.label}.fdf "
-                    f"> {self.label}.out")
-        self.proc = subprocess.Popen(launcher, shell=True)
+    def start(self, npc=1, client=None):
+        """Launch Siesta and complete the fsiesta handshake
+        (siestadriver.py:91-115: mpirun launcher + pysiestalaunch +
+        initforce). ``client`` injects a pre-built FsiestaClient whose
+        peer is already being served (tests: MockFsiestaServer) — then
+        no binary is needed."""
+        from sclmd_tpu.models.fsiesta import FsiestaClient
+
+        if client is not None:
+            self.client = client
+        else:
+            import shutil
+            if shutil.which("siesta") is None:
+                raise RuntimeError(
+                    "siesta binary not found on PATH; SiestaDriver.start "
+                    "is an external-DFT escape hatch (use NativeDriver/"
+                    "SocketDriver or JAX potentials on-device instead). "
+                    "Tests drive the identical protocol via "
+                    "models.fsiesta.MockFsiestaServer")
+            self.client = FsiestaClient(self.label, self.interface,
+                                        port=self.port)
+            launcher = (f"mpirun -np {npc} siesta < {self.label}.fdf "
+                        f"> {self.label}.out")
+            self.proc = subprocess.Popen(launcher, shell=True)
+        self.client.connect()
+        self.initforce()
+
+    # --- reference force protocol (siestadriver.py:117-155) ---
+    def newx(self, q):
+        """Real coordinates from mass-weighted displacements
+        (siestadriver.py:125-131)."""
+        return self.xyz + self.conv * np.asarray(q, np.float64)
+
+    def absforce(self, q):
+        """Force from Siesta in mass-weighted units
+        (siestadriver.py:133-141: pysiestaforce + conv)."""
+        cell = self.cell if self.cell is not None else np.zeros((3, 3))
+        self._e, force = self.client.forces(self.newx(q), cell)
+        return self.conv * force
+
+    def initforce(self):
+        """Zero-displacement reference force (siestadriver.py:143-148)."""
+        self.f0 = self.absforce(np.zeros(3 * self.number))
+
+    def force(self, q):
+        """Relative force (siestadriver.py:150-155)."""
+        return self.absforce(q) - self.f0
+
+    def energy(self, q=None):
+        if q is not None:
+            self.absforce(q)
+        return float(self._e)
 
     def quit(self):
+        """quit/quitting handshake, then reap the process
+        (siestadriver.py:117-123)."""
+        if self.client is not None:
+            try:
+                self.client.quit()
+            finally:
+                self.client = None
         if self.proc is not None:
-            self.proc.terminate()
+            try:
+                self.proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                self.proc.terminate()
             self.proc = None
