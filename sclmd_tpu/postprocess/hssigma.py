@@ -134,6 +134,176 @@ def write_hssigma_mean(outfile, E, result, eta: float = 1e-4,
     _write_vars(outfile, arrays)
 
 
+# ---------------------------------------------------------------------------
+# File-to-file ingestion: the reference's RunName workflow
+# (hssigma.py:12-17, 134-418): <RunName>.TBT.SE.nc + <RunName>.TSHS
+# -> HSSigmaMEAN + Trans.realspace.dat.
+# ---------------------------------------------------------------------------
+_RY_EV = 13.6058  # Rydberg -> eV (hssigma.py:21)
+
+
+def read_tbt_se(filename):
+    """Read a tbtrans TBT.SE.nc bundle (hssigma.py:47-123).
+
+    Returns a dict with the pivoted lead self-energies converted to eV
+    (SigL/SigR: (ne, nk, np, np) complex), 0-based pivots, the device
+    orbital window [iod1, iod2), energies in eV, and k-points/weights.
+
+    Backends: netCDF4 when available (real tbtrans output, with its
+    Left/Right groups); otherwise an npz bundle of the same name with
+    the group variables flattened to ``Left_pivot``,
+    ``Left_ReSelfEnergy``, ... (the documented converter: open the .nc
+    once where netCDF4 exists and np.savez the listed variables).
+    """
+    import os
+    try:
+        from netCDF4 import Dataset  # gated: not in this image
+        have_nc = os.path.exists(filename)
+    except ImportError:
+        have_nc = False
+    if have_nc:
+        nc = Dataset(filename)
+        try:
+            def _var(name):
+                return np.asarray(nc.variables[name][:])
+
+            def _gvar(g, name):
+                return np.asarray(nc.groups[g].variables[name][:])
+        finally:
+            pass
+    else:
+        fn = filename if os.path.exists(filename) \
+            else os.path.splitext(filename)[0] + ".npz"
+        if not os.path.exists(fn):
+            raise FileNotFoundError(
+                f"neither netCDF4+{filename} nor its npz bundle {fn} "
+                "available (see read_tbt_se docstring)")
+        d = np.load(fn)
+        nc = None
+
+        def _var(name):
+            return np.asarray(d[name])
+
+        def _gvar(g, name):
+            return np.asarray(d[f"{g}_{name}"])
+
+    try:
+        pvl = _gvar("Left", "pivot") - 1
+        pvr = _gvar("Right", "pivot") - 1
+
+        # stored (nk, ne, np, np) per the reference's rSL[ikpt, ien]
+        def _sig(g):
+            re = _gvar(g, "ReSelfEnergy")
+            im = _gvar(g, "ImSelfEnergy")
+            return (re + 1j * im).transpose(1, 0, 2, 3) * _RY_EV
+        SigL = _sig("Left")
+        SigR = _sig("Right")
+        lasto = _var("lasto")
+        a_dev = np.sort(_var("a_dev"))
+        kpts = _var("kpt")
+        wkpts = _var("wkpt")
+        ens = _var("E") * _RY_EV
+    finally:
+        if nc is not None:
+            nc.close()
+    iad1, iad2 = a_dev[0] - 1, a_dev[-1] - 1
+    iod1 = int(lasto[iad1 - 1]) if iad1 > 0 else 0
+    iod2 = int(lasto[iad2])
+    return {"pvl": pvl, "pvr": pvr, "SigL": SigL, "SigR": SigR,
+            "lasto": lasto, "a_dev": a_dev, "iod1": iod1, "iod2": iod2,
+            "kpts": kpts, "wkpts": wkpts, "E": ens}
+
+
+def read_device_hs(runname, kpts, iod1: int, iod2: int):
+    """Device-window H(k), S(k) in eV: sisl-gated TSHS reader with an
+    npz fallback.
+
+    With sisl installed (not in this image), reads <runname>.TSHS and
+    Fourier-transforms per k (hssigma.py:42-45, 148-156). Otherwise
+    falls back to <runname>.HSk.npz holding dense Hk/Sk (nk, n, n) —
+    produced elsewhere by the one-liner documented here::
+
+        import sisl, numpy as np
+        H = sisl.Hamiltonian.read(runname + ".TSHS")
+        np.savez(runname + ".HSk.npz",
+                 Hk=np.stack([H.Hk(k).toarray() for k in kpts]),
+                 Sk=np.stack([H.Sk(k).toarray() for k in kpts]))
+    """
+    try:
+        import sisl  # gated: not in this image
+        H = sisl.Hamiltonian.read(runname + ".TSHS")
+        Hk = np.stack([np.asarray(H.Hk(k).todense()) for k in kpts])
+        Sk = np.stack([np.asarray(H.Sk(k).todense()) for k in kpts])
+    except ImportError:
+        import os
+        fn = runname + ".HSk.npz"
+        if not os.path.exists(fn):
+            raise FileNotFoundError(
+                f"sisl is unavailable and {fn} not found — convert the "
+                "TSHS once with sisl (see read_device_hs docstring)")
+        d = np.load(fn)
+        Hk, Sk = np.asarray(d["Hk"]), np.asarray(d["Sk"])
+    return Hk[:, iod1:iod2, iod1:iod2], Sk[:, iod1:iod2, iod1:iod2]
+
+
+def read_xv(filename):
+    """Minimal Siesta .XV reader (cell in Bohr -> Ang, species numbers,
+    positions) — replaces the reference's Inelastica MakeGeom dependency
+    (hssigma.py:33-38) for the geometry metadata."""
+    bohr = 0.529177
+    with open(filename) as fh:
+        cell = np.array([[float(x) for x in fh.readline().split()[:3]]
+                         for _ in range(3)]) * bohr
+        na = int(fh.readline().split()[0])
+        snr, anr, xyz = [], [], []
+        for _ in range(na):
+            parts = fh.readline().split()
+            snr.append(int(parts[0]))
+            anr.append(int(parts[1]))
+            xyz.append([float(x) * bohr for x in parts[2:5]])
+    return {"cell": cell, "snr": np.array(snr), "anr": np.array(anr),
+            "xyz": np.array(xyz)}
+
+
+def hssigma_main(runname, eta: float = 1e-4, batch_size: int = 8,
+                 out_mean=None, trans_file="Trans.realspace.dat"):
+    """The reference script's RunName workflow, file to file
+    (hssigma.py:134-418): read <runname>.TBT.SE.nc (+ TSHS or HSk.npz),
+    expand the pivoted self-energies into the device window, k-average
+    with time-reversal symmetry, back-extract real-space Sigma_L/R/TOT,
+    and write HSSigmaMEAN (npz or .nc by extension) plus the
+    transmission diagnostic.
+
+    Returns the kaverage_extract result dict.
+    """
+    se = read_tbt_se(runname + ".TBT.SE.nc")
+    Hk, Sk = read_device_hs(runname, se["kpts"], se["iod1"], se["iod2"])
+    n_full = int(se["lasto"][-1])
+    iod1, iod2 = se["iod1"], se["iod2"]
+
+    def expand(Sig, pv):
+        full = expand_pivoted_sigma(Sig, pv, n_full)
+        return full[..., iod1:iod2, iod1:iod2]
+
+    SigLk = expand(se["SigL"], se["pvl"])
+    SigRk = expand(se["SigR"], se["pvr"])
+    result = kaverage_extract(Hk, Sk, SigLk, SigRk, se["E"],
+                              se["wkpts"], eta=eta,
+                              batch_size=batch_size)
+    out_mean = out_mean or (runname + ".HSSigmaMEAN.npz")
+    write_hssigma_mean(out_mean, se["E"], result, eta=eta,
+                       kpts=se["kpts"])
+    if trans_file:
+        with open(trans_file, "w") as ft:
+            ft.write("# Transmission using real-space self-energy\n")
+            ft.write("# energy  T(k-avg)  T(realspace)\n")
+            for i, e in enumerate(se["E"]):
+                tk = float(np.dot(se["wkpts"], result["T_k"][i]))
+                ft.write("%.8f %.8e %.8e\n" % (e, tk,
+                                               float(result["T_rs"][i])))
+    return result
+
+
 def read_hssigma_mean(filename):
     """Read an HSSigmaMEAN bundle into (E, H, S, SigL, SigR) with the
     FFT-order rearrangement of readHS (lambda.py:1593-1610)."""

@@ -88,3 +88,81 @@ class TestKAverage:
         wb = pl.wideband(hwcut=1.0, mu0=0.0)
         assert np.isfinite(wb["eta"]).all()
         np.testing.assert_allclose(wb["eta"], wb["eta"].T, atol=1e-8)
+
+
+class TestFileWorkflow:
+    """The reference's RunName workflow file-to-file (hssigma.py:12-17,
+    134-418) on the npz backends (sisl/netCDF4 are gated out of this
+    image; the converter one-liners are documented in the readers)."""
+
+    def _write_run(self, rng, tmp_path, runname="Dev"):
+        # 4 atoms x 2 orbitals: atoms 2-3 are the device (1-based)
+        nk, ne, norb = 2, 3, 2
+        na = 4
+        lasto = np.arange(1, na + 1) * norb          # 1-based orbital ends
+        a_dev = np.array([2, 3])
+        n_full = na * norb
+        ens = np.linspace(-0.05, 0.05, ne)           # Ry
+        kpts = np.zeros((nk, 3)); kpts[1, 0] = 0.5
+        wkpt = np.full(nk, 0.5)
+        npv = 2
+        pvl = np.array([3, 4])                       # 1-based full-space
+        pvr = np.array([5, 6])
+        sig = rng.normal(size=(nk, ne, npv, npv)) * 0.05
+        sigi = -np.abs(rng.normal(size=(nk, ne, npv, npv))) * 0.05
+        np.savez(tmp_path / f"{runname}.TBT.SE.npz",
+                 Left_pivot=pvl, Right_pivot=pvr,
+                 Left_ReSelfEnergy=sig, Left_ImSelfEnergy=sigi,
+                 Right_ReSelfEnergy=sig[::-1], Right_ImSelfEnergy=sigi,
+                 lasto=lasto, a_dev=a_dev, kpt=kpts, wkpt=wkpt, E=ens)
+        h0 = rng.normal(size=(n_full, n_full))
+        h0 = (h0 + h0.T) / 2
+        Hk = np.stack([h0 + 0.1 * ik * np.eye(n_full)
+                       for ik in range(nk)]).astype(complex)
+        Sk = np.broadcast_to(np.eye(n_full, dtype=complex),
+                             (nk, n_full, n_full)).copy()
+        np.savez(tmp_path / f"{runname}.HSk.npz", Hk=Hk, Sk=Sk)
+        return runname
+
+    def test_main_end_to_end(self, rng, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        runname = self._write_run(rng, tmp_path)
+        res = HSX.hssigma_main(runname, eta=1e-3)
+        # device window: atoms 2..3 -> orbitals 2..6 (0-based [2, 6))
+        nos = 4
+        assert res["SigmaL"].shape[-2:] == (nos, nos)
+        assert (tmp_path / f"{runname}.HSSigmaMEAN.npz").exists()
+        assert (tmp_path / "Trans.realspace.dat").exists()
+        lines = (tmp_path / "Trans.realspace.dat").read_text().splitlines()
+        assert len(lines) == 2 + 3                  # header + ne rows
+        # output readable by the Lambda pipeline reader (readHS path)
+        E, H, S, S1, S2 = HSX.read_hssigma_mean(
+            str(tmp_path / f"{runname}.HSSigmaMEAN.npz"))
+        assert H.shape == (nos, nos)
+        assert np.isfinite(S1).all()
+
+    def test_se_reader_units_and_window(self, rng, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        runname = self._write_run(rng, tmp_path)
+        se = HSX.read_tbt_se(runname + ".TBT.SE.nc")
+        # Ry -> eV on energies and self-energies (hssigma.py:21,135,245)
+        d = np.load(tmp_path / f"{runname}.TBT.SE.npz")
+        np.testing.assert_allclose(se["E"], d["E"] * 13.6058)
+        np.testing.assert_allclose(
+            se["SigL"][0, 1].real, d["Left_ReSelfEnergy"][1, 0] * 13.6058)
+        # device orbital window: atoms 2..3 of 2 orbitals -> [2, 6)
+        assert (se["iod1"], se["iod2"]) == (2, 6)
+        # pivots are 0-based after reading
+        np.testing.assert_array_equal(se["pvl"], [2, 3])
+
+    def test_read_xv(self, tmp_path):
+        bohr = 0.529177
+        text = ("  10.0 0.0 0.0\n  0.0 10.0 0.0\n  0.0 0.0 10.0\n"
+                "  2\n"
+                "  1  6  0.0 0.0 0.0  0.0 0.0 0.0\n"
+                "  1  6  2.0 0.0 0.0  0.0 0.0 0.0\n")
+        (tmp_path / "Dev.XV").write_text(text)
+        g = HSX.read_xv(str(tmp_path / "Dev.XV"))
+        assert g["anr"].tolist() == [6, 6]
+        np.testing.assert_allclose(g["xyz"][1, 0], 2.0 * bohr)
+        np.testing.assert_allclose(g["cell"][0, 0], 10.0 * bohr)
