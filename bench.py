@@ -1,14 +1,18 @@
-"""Benchmark: GLE MD throughput on the north-star workload.
+"""Benchmark: GLE MD throughput on the north-star workloads.
 
-Workload (BASELINE.md): 100-atom junction (300 DOF), two non-Markovian
-phonon baths with a 1000-tap memory kernel each, quantum colored noise —
-one jitted lax.scan on the TPU chip. Baseline: CPU reference sclmd at
-~12.5 velocity-Verlet steps/s (flow/sclmd.dot:270, 201-atom junction,
-ml=1 baths; our workload carries a 1000x longer memory kernel).
+Primary (BASELINE.md:20-22): 100-atom junction (300 DOF), two
+non-Markovian phonon baths with a 1000-tap memory kernel each, quantum
+colored noise — blocked-convolution integrator (md.run_segment_blocked),
+one compiled program per segment. Baseline: CPU reference sclmd at
+~12.5 velocity-Verlet steps/s (flow/sclmd.dot:270; that figure is the
+vv loop only, so the headline here is also scan-only; the
+noise-regeneration-inclusive figure is reported alongside).
 
-Prints ONE JSON line:
-  {"metric": "GLE steps/sec", "value": N, "unit": "steps/s",
-   "vs_baseline": N/12.5, ...}
+Secondary (BASELINE.md:23, config 5): 1,000 vmapped trajectories on a
+500-atom junction (1500 DOF, 150-DOF leads), noise sampled ON DEVICE
+from host-precomputed PSD factors.
+
+Prints ONE JSON line.
 """
 
 from __future__ import annotations
@@ -22,118 +26,206 @@ import numpy as np
 BASELINE_STEPS_PER_SEC = 12.5
 
 
-def main():
+def _sync(x):
     import jax
-    import jax.numpy as jnp
-    from functools import partial
+    jax.block_until_ready(x)
+    return x
+
+
+def primary(jax, jnp):
     from sclmd_tpu import baths as B
-    from sclmd_tpu.md import GLESystem, initial_state, vv_step
+    from sclmd_tpu.md import (GLESystem, initial_state, run_segment_blocked)
     from sclmd_tpu.models.harmonic import chain_dynmat
 
-    natoms = 100
+    natoms, ml, nmd = 100, 1000, 2048
     nph = 3 * natoms
-    ml = 1000
-    dt = 0.25 / 0.658
-    nmd = 2048
-    T, delta = 300.0, 0.1
-    nbath_dofs = 90          # 30 atoms per lead
+    dt, T, delta = 0.25 / 0.658, 300.0, 0.1
+    nc = 90
 
     dyn = np.asarray(chain_dynmat(nph, 0.04, dtype=jnp.float32))
     mask = np.ones(nph, np.float32)
     gwl = np.linspace(0.0, 0.6, 64)
-    gam = np.array([np.eye(nbath_dofs) * 0.01 * np.exp(-(w / 0.25) ** 2)
+    gam = np.array([np.eye(nc) * 0.01 * np.exp(-(w / 0.25) ** 2)
                     for w in gwl])
 
     def mkbath(dofs, temp):
         return B.phbath(temp, dofs, 0.3, 128, dt, nmd, ml=ml,
                         gamma=gam, gwl=gwl, dtype=jnp.float32)
 
-    pbl = mkbath(range(nbath_dofs), T * (1 + delta / 2))
-    pbr = mkbath(range(nph - nbath_dofs, nph), T * (1 - delta / 2))
+    pbl = mkbath(range(nc), T * (1 + delta / 2))
+    pbr = mkbath(range(nph - nc, nph), T * (1 - delta / 2))
 
-    # noise sampling happens host-side; the MD scan + scalar stats are
-    # one compiled program (see sclmd_tpu.md.run_segment for the
-    # roll-based noise streaming).
-    from sclmd_tpu.md import run_segment
+    def scan_run(block):
+        @jax.jit
+        def f(dyn_a, mask_a, bl, br):
+            system = GLESystem(dyn=dyn_a, baths=(bl, br), mask=mask_a,
+                               dt=dt, nph=nph, ml=ml, nmd=nmd)
+            st = initial_state(system)
+            fin, ys = run_segment_blocked(system, st, nmd, 0, block=block)
+            cur = ys["cur"][nmd // 4:]
+            return (fin.p, jnp.mean(cur[:, 0]), jnp.mean(cur[:, 1]),
+                    jnp.isfinite(ys["etot"]).all())
+        return f
 
-    @jax.jit
-    def scan_run(dyn_a, mask_a, bl, br):
-        system = GLESystem(dyn=dyn_a, baths=(bl, br), mask=mask_a,
-                           dt=dt, nph=nph, ml=ml, nmd=nmd)
-        state = initial_state(system)
-        final, ys = run_segment(system, state, nmd, 0)
-        cur = ys["cur"][nmd // 4:]
-        return (final, jnp.mean(cur[:, 0]), jnp.mean(cur[:, 1]),
-                jnp.isfinite(ys["etot"]).all())
-
-    def run(seed):
-        # host-side noise synthesis: clean numpy buffers into the scan
-        bl = pbl.gnoi_np(2 * seed).replace(nevecs=None, nstd=None)
-        br = pbr.gnoi_np(2 * seed + 1).replace(nevecs=None, nstd=None)
-        return scan_run(dyn, mask, bl, br)
-
-    # warm-up / compile
-    out = run(0)
-    jax.block_until_ready(out[0].p)
-
-    # timing: the MD scan alone (noise synthesis is per-run setup;
-    # regenerate anyway to keep parity with the reference's workflow)
+    # ---- single trajectory, scan-only (noise passed in) ----
+    bl = pbl.gnoi_np(2).replace(nevecs=None, nstd=None)
+    br = pbr.gnoi_np(3).replace(nevecs=None, nstd=None)
+    f1 = scan_run(64)
+    _sync(f1(dyn, mask, bl, br))                      # compile
     t0 = time.perf_counter()
     reps = 3
-    for r in range(1, reps + 1):
-        out = run(r)
-        jax.block_until_ready(out[0].p)
-    t1 = time.perf_counter()
+    for _ in range(reps):
+        out = _sync(f1(dyn, mask, bl, br))
+    dt_scan = (time.perf_counter() - t0) / reps
+    single_sps = nmd / dt_scan
+    _, jl, jr, finite = out[0], out[1], out[2], out[3]
 
-    _, jl, jr, finite = out
-    steps_per_sec = reps * nmd / (t1 - t0)
+    # ---- same, including per-run host noise regeneration (the
+    # reference workflow regenerates noise every run; r1's bench
+    # timed THIS, which is why its number undershot the scan-only
+    # claim — both are now reported) ----
+    t0 = time.perf_counter()
+    for r in range(reps):
+        bl2 = pbl.gnoi_np(10 + r).replace(nevecs=None, nstd=None)
+        br2 = pbr.gnoi_np(20 + r).replace(nevecs=None, nstd=None)
+        _sync(f1(dyn, mask, bl2, br2))
+    regen_sps = reps * nmd / (time.perf_counter() - t0)
 
-    # --- secondary metric: batched trajectory ensemble ------------------
-    # (BASELINE.json config 5) — same workload, ntraj independent noise
-    # realisations vmapped into one program; kernel reads amortise
-    # across the batch on the MXU.
-    ntraj = 32
-    noiseL = np.stack([np.asarray(
-        pbl.gnoi_np(100 + i).noise) for i in range(ntraj)])
-    noiseR = np.stack([np.asarray(
-        pbr.gnoi_np(200 + i).noise) for i in range(ntraj)])
+    # ---- ensembles (blocked, block=256 — measured best on this chip) ----
+    from sclmd_tpu.md import run_segment_blocked as rsb
+
+    def ens_run(block, ntraj):
+        @jax.jit
+        def f(dyn_a, mask_a, bl, br, nzL, nzR):
+            def one(nzl, nzr):
+                system = GLESystem(
+                    dyn=dyn_a, baths=(bl.replace(noise=nzl),
+                                      br.replace(noise=nzr)),
+                    mask=mask_a, dt=dt, nph=nph, ml=ml, nmd=nmd)
+                st = initial_state(system)
+                fin, ys = rsb(system, st, nmd, 0, block=block)
+                return (jnp.mean(ys["cur"], axis=0),
+                        jnp.isfinite(ys["etot"]).all())
+            curs, fins = jax.vmap(one)(nzL, nzR)
+            return jnp.mean(curs, axis=0), fins.all()
+        return f
+
+    bl0 = pbl.replace(nevecs=None, nstd=None, noise=None)
+    br0 = pbr.replace(nevecs=None, nstd=None, noise=None)
+    ens = {}
+    for ntraj in (32, 256):
+        nzL = np.stack([np.asarray(pbl.gnoi_np(100 + i).noise)
+                        for i in range(ntraj)])
+        nzR = np.stack([np.asarray(pbr.gnoi_np(10000 + i).noise)
+                        for i in range(ntraj)])
+        f = ens_run(256, ntraj)
+        _sync(f(dyn, mask, bl0, br0, nzL, nzR))
+        t0 = time.perf_counter()
+        o = _sync(f(dyn, mask, bl0, br0, nzL, nzR))
+        tr = time.perf_counter() - t0
+        ens[ntraj] = round(ntraj * nmd / tr, 1)
+    return {
+        "single_sps": single_sps, "regen_sps": regen_sps,
+        "ens": ens, "J_left": float(jl), "J_right": float(jr),
+        "finite": bool(finite),
+    }
+
+
+def config5(jax, jnp):
+    """BASELINE.md:23 secondary metric: 1k vmapped trajectories,
+    500-atom junction. Noise sampled on device from host factors."""
+    from sclmd_tpu import baths as B
+    from sclmd_tpu.md import GLESystem, initial_state, run_segment_blocked
+    from sclmd_tpu.models.harmonic import chain_dynmat
+    from sclmd_tpu.ops.noise import sample_noise_parts
+
+    natoms, ml, nmd, ntraj, block = 500, 512, 1024, 1000, 128
+    nph = 3 * natoms
+    dt, T, delta = 0.25 / 0.658, 300.0, 0.1
+    nc = 150
+
+    dyn = np.asarray(chain_dynmat(nph, 0.04, dtype=jnp.float32))
+    mask = np.ones(nph, np.float32)
+    gwl = np.linspace(0.0, 0.6, 48)
+    gam = np.array([np.eye(nc) * 0.01 * np.exp(-(w / 0.25) ** 2)
+                    for w in gwl])
+
+    def mkbath(dofs, temp):
+        return B.phbath(temp, dofs, 0.3, 96, dt, nmd, ml=ml,
+                        gamma=gam, gwl=gwl, dtype=jnp.float32)
+
+    pbl = mkbath(range(nc), T * (1 + delta / 2))
+    pbr = mkbath(range(nph - nc, nph), T * (1 - delta / 2))
+
+    # device-side batched noise synthesis (complex factors split into
+    # real/imag parts — complex jit args do not transit this tunnel)
+    def draw(bath, seed):
+        re = np.ascontiguousarray(bath.nevecs.real, np.float32)
+        im = np.ascontiguousarray(bath.nevecs.imag, np.float32)
+        std = np.asarray(bath.nstd, np.float32)
+        keys = jax.random.split(jax.random.PRNGKey(seed), ntraj)
+
+        @jax.jit
+        def f(keys, re, im, std):
+            return jax.vmap(lambda k: sample_noise_parts(
+                k, re, im, std, dt, nmd))(keys)
+        return _sync(f(keys, re, im, std))
+
+    nzL = draw(pbl, 1)
+    nzR = draw(pbr, 2)
+    bl0 = pbl.replace(nevecs=None, nstd=None, noise=None)
+    br0 = pbr.replace(nevecs=None, nstd=None, noise=None)
 
     @jax.jit
-    def ens_run(dyn_a, mask_a, bl, br, nzL, nzR):
+    def f(dyn_a, mask_a, bl, br, nzL, nzR):
         def one(nzl, nzr):
             system = GLESystem(
                 dyn=dyn_a, baths=(bl.replace(noise=nzl),
                                   br.replace(noise=nzr)),
                 mask=mask_a, dt=dt, nph=nph, ml=ml, nmd=nmd)
-            state = initial_state(system)
-            final, ys = run_segment(system, state, nmd, 0)
-            return jnp.mean(ys["cur"], axis=0), \
-                jnp.isfinite(ys["etot"]).all()
+            st = initial_state(system)
+            fin, ys = run_segment_blocked(system, st, nmd, 0,
+                                          block=block)
+            return (jnp.mean(ys["cur"], axis=0),
+                    jnp.isfinite(ys["etot"]).all())
         curs, fins = jax.vmap(one)(nzL, nzR)
-        return curs, fins.all()
+        return jnp.mean(curs, axis=0), fins.all()
 
-    bl0 = pbl.gnoi_np(0).replace(nevecs=None, nstd=None, noise=None)
-    br0 = pbr.gnoi_np(1).replace(nevecs=None, nstd=None, noise=None)
-    o = ens_run(dyn, mask, bl0, br0, noiseL, noiseR)
-    jax.block_until_ready(o)
-    t2 = time.perf_counter()
-    o = ens_run(dyn, mask, bl0, br0, noiseL, noiseR)
-    jax.block_until_ready(o)
-    t3 = time.perf_counter()
-    traj_steps_per_sec = ntraj * nmd / (t3 - t2)
+    _sync(f(dyn, mask, bl0, br0, nzL, nzR))
+    t0 = time.perf_counter()
+    o = _sync(f(dyn, mask, bl0, br0, nzL, nzR))
+    tr = time.perf_counter() - t0
+    return {"tsps": round(ntraj * nmd / tr, 1),
+            "finite": bool(np.asarray(o[1])),
+            "ntraj": ntraj, "atoms": natoms}
 
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    p = primary(jax, jnp)
+    c5 = config5(jax, jnp)
+
+    best_ens = max(p["ens"].values())
     result = {
-        "metric": "GLE steps/sec (100-atom junction, 1000-tap kernel)",
-        "value": round(steps_per_sec, 1),
+        "metric": "GLE steps/sec (100-atom junction, 1000-tap kernel, "
+                  "blocked integrator, scan-only)",
+        "value": round(p["single_sps"], 1),
         "unit": "steps/s",
-        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 1),
-        "ensemble_traj_steps_per_sec": round(traj_steps_per_sec, 1),
-        "ensemble_ntraj": ntraj,
-        "ensemble_vs_baseline": round(
-            traj_steps_per_sec / BASELINE_STEPS_PER_SEC, 1),
-        "finite": bool(finite),
-        "J_left": float(jl),
-        "J_right": float(jr),
+        "vs_baseline": round(p["single_sps"] / BASELINE_STEPS_PER_SEC, 1),
+        "with_noise_regen_steps_per_sec": round(p["regen_sps"], 1),
+        "ensemble_traj_steps_per_sec": best_ens,
+        "ensemble_block": 256,
+        "ensemble_scaling": {str(k): v for k, v in p["ens"].items()},
+        "ensemble_vs_baseline": round(best_ens / BASELINE_STEPS_PER_SEC, 1),
+        "config5_traj_steps_per_sec": c5["tsps"],
+        "config5_ntraj": c5["ntraj"],
+        "config5_atoms": c5["atoms"],
+        "config5_finite": c5["finite"],
+        "finite": p["finite"],
+        "J_left": p["J_left"],
+        "J_right": p["J_right"],
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -294,25 +294,28 @@ def run_segment_blocked(system: GLESystem, state: MDState, nsteps: int,
             hists.append(None)
     hists = tuple(hists)
 
-    # noise streams: (nblocks, block, nc) per bath and step offset
+    # noise: ONE stream per bath (rows t0+1 .. t0+nsteps); this step's
+    # row t rides in the scan carry (next carry = this step's xs row),
+    # halving the noise setup copies and xs footprint vs two offset
+    # streams
     xs_outer = tuple(
-        (_noise_rows(b.noise, nmd, t0, 0, nsteps).reshape(
-            nblocks, block, -1),
-         _noise_rows(b.noise, nmd, t0, 1, nsteps).reshape(
-             nblocks, block, -1))
+        _noise_rows(b.noise, nmd, t0, 1, nsteps).reshape(
+            nblocks, block, -1)
         for b in system.baths)
+    nrow0 = tuple(b.noise[t0] for b in system.baths)
 
     def scatter(b, f_local):
         return jnp.zeros((nph,), f_local.dtype).at[b.cids].set(f_local)
 
     def inner(carry, xs):
-        p, q, qprev, rings = carry
+        p, q, qprev, rings, nrows = carry
         etot = 0.5 * jnp.dot(p, p)
         pf = system.potential_force(q)
         fbaths = []
         corr_bases = []
         for i, b in enumerate(system.baths):
-            n0, n1, op, oc = xs[i]
+            n1, op, oc = xs[i]
+            n0 = nrows[i]
             p_c = p[b.cids]
             if plans[i] is not None:
                 nc = b.nc
@@ -344,7 +347,7 @@ def run_segment_blocked(system: GLESystem, state: MDState, nsteps: int,
         def bath_sum(pt):
             out = pf2
             for i, b in enumerate(system.baths):
-                n1 = xs[i][1]
+                n1 = xs[i][0]
                 pt_c = pt[b.cids]
                 if plans[i] is not None:
                     fl = n1 - (b.kernel[0] @ pt_c + corr_bases[i]) * dt
@@ -374,32 +377,34 @@ def run_segment_blocked(system: GLESystem, state: MDState, nsteps: int,
             out["f"] = f_last
         if system.cf_fn is not None:
             out["cf"] = system.cf_fn(q) + system.dyn @ q
-        return (ptt2, qtt, q, new_rings), out
+        new_nrows = tuple(xs[i][0] for i in range(len(system.baths)))
+        return (ptt2, qtt, q, new_rings, new_nrows), out
 
     def outer(carry, xs_blk):
-        p, q, qprev, bhists = carry
+        p, q, qprev, bhists, nrows = carry
         xs_inner = []
         for i, b in enumerate(system.baths):
-            n0, n1 = xs_blk[i]
+            n1 = xs_blk[i]
             if plans[i] is not None:
                 O = b.block_corr(bhists[i], block, plans[i]["khat"],
                                  plans[i]["nfft"])
-                xs_inner.append((n0, n1, O[:block], O[1:block + 1]))
+                xs_inner.append((n1, O[:block], O[1:block + 1]))
             else:
-                xs_inner.append((n0, n1, None, None))
+                xs_inner.append((n1, None, None))
         rings = tuple(
             jnp.zeros((block, b.nc), dtype) if plans[i] is not None
             else None for i, b in enumerate(system.baths))
-        (p, q, qprev, rings), ys = jax.lax.scan(
-            inner, (p, q, qprev, rings), tuple(xs_inner), length=block)
+        (p, q, qprev, rings, nrows), ys = jax.lax.scan(
+            inner, (p, q, qprev, rings, nrows), tuple(xs_inner),
+            length=block)
         new_hists = tuple(
             jnp.concatenate([rings[i], bhists[i]], 0)[: b.ml - 1]
             if plans[i] is not None else None
             for i, b in enumerate(system.baths))
-        return (p, q, qprev, new_hists), ys
+        return (p, q, qprev, new_hists, nrows), ys
 
-    carry0 = (state.p, state.q, state.qhis[0], hists)
-    (p, q, qprev, hists_f), ys = jax.lax.scan(
+    carry0 = (state.p, state.q, state.qhis[0], hists, nrow0)
+    (p, q, qprev, hists_f, _), ys = jax.lax.scan(
         outer, carry0, xs_outer, length=nblocks)
     ys = jax.tree_util.tree_map(
         lambda a: a.reshape((nsteps,) + a.shape[2:]), ys)
@@ -444,9 +449,12 @@ class md:
 
     def __init__(self, dt, nmd, T, syslist=None, axyz=None, dyn=None,
                  nstart=0, nstop=1, npie=1, md2ang=U.MD2ANG,
-                 dtype=jnp.float32, seed=1234, outdir="."):
+                 dtype=jnp.float32, seed=1234, outdir=".", block=None):
         self.dt, self.nmd, self.T = float(dt), int(nmd), float(T)
         self.nstart, self.nstop, self.npie = int(nstart), int(nstop), int(npie)
+        # blocked-convolution fast path: segments run through
+        # run_segment_blocked when the segment length divides evenly
+        self.block = None if block is None else int(block)
         self.md2ang = md2ang
         self.dtype = dtype
         self.outdir = outdir
@@ -765,8 +773,15 @@ class md:
             wrote_segment = ipie0 >= 0
             try:
                 for i in range(ipie0 + 1, self.npie):
-                    state, ys = run_segment(system, state, seg,
-                                            t0=int(state.t) % self.nmd)
+                    if self.block and seg % self.block == 0:
+                        state, ys = run_segment_blocked(
+                            system, state, seg,
+                            t0=int(state.t) % self.nmd,
+                            block=self.block)
+                    else:
+                        state, ys = run_segment(
+                            system, state, seg,
+                            t0=int(state.t) % self.nmd)
                     ys = jax.device_get(ys)
                     # failure detection (beyond the reference, which
                     # runs blind): a diverged segment aborts with
@@ -816,7 +831,7 @@ class md:
         self.state = state
 
     def RunEnsemble(self, ntraj: int, nsteps: Optional[int] = None,
-                    equil_frac: float = 0.25):
+                    equil_frac: float = 0.25, block: Optional[int] = None):
         """Run ``ntraj`` independent trajectories as ONE vmapped program.
 
         The reference executes its ensemble sequentially (the
@@ -839,7 +854,10 @@ class md:
                 evecs=jnp.asarray(self.U, self.dtype), T=self.T)
         else:
             states = ensemble_states(bsys, ntraj)
-        finals, ys = ensemble_run(bsys, states, nsteps)
+        block = block if block is not None else self.block
+        if block and nsteps % block:
+            block = None
+        finals, ys = ensemble_run(bsys, states, nsteps, block=block)
         cur = np.asarray(jax.device_get(ys["cur"]))   # (ntraj, nsteps, nb)
         if not np.isfinite(cur).all():
             raise FloatingPointError(

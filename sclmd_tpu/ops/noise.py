@@ -143,6 +143,25 @@ def sample_noise(key: jax.Array, evecs, std, dt: float,
     return jnp.real(fourier_w2t(xi, dt, axis=0))
 
 
+@_partial(jax.jit, static_argnames=("dt", "nmd"))
+def sample_noise_parts(key: jax.Array, evecs_re, evecs_im, std,
+                       dt: float, nmd: int) -> jax.Array:
+    """``sample_noise`` with the PSD eigenvectors split into real/imag
+    float arrays. Complex buffers cannot transit some TPU tunnels even
+    as jit arguments — the complex factor is reassembled in-graph, so
+    host-precomputed factors can feed device-side batched sampling
+    (vmap over keys for ensembles)."""
+    _check_even(nmd)
+    evecs_re = jnp.asarray(evecs_re)
+    cplx = jnp.result_type(evecs_re.dtype, jnp.complex64)
+    evecs = evecs_re.astype(cplx) + 1j * jnp.asarray(evecs_im).astype(cplx)
+    std = jnp.asarray(std)
+    r = jax.random.normal(key, std.shape, dtype=std.dtype) * std
+    xi_pos = jnp.einsum("...ij,...j->...i", evecs, r.astype(evecs.dtype))
+    xi = mirror_halfspectrum(xi_pos, nmd)
+    return jnp.real(fourier_w2t(xi, dt, axis=0))
+
+
 def sample_noise_np(rng: np.random.Generator, evecs, std, dt: float,
                     nmd: int) -> np.ndarray:
     """Host NumPy twin of ``sample_noise`` (float64).

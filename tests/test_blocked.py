@@ -158,3 +158,34 @@ class TestBlockedEnsemble:
         np.testing.assert_allclose(np.asarray(ys_blk["cur"]),
                                    np.asarray(ys_ref["cur"]),
                                    rtol=1e-7, atol=1e-12)
+
+
+class TestWrapperBlock:
+    def test_md_wrapper_block_matches_plain(self, tmp_path):
+        """md(..., block=8) writes the same kappa/checkpoint outputs as
+        the plain path (segments chained over npie)."""
+        import jax
+        from sclmd_tpu.md import md
+
+        def build(outdir, block):
+            nat = 4
+            axyz = [["C", 1.0 * i, 0.0, 0.0] for i in range(nat)]
+            dyn = np.asarray(chain_dynmat(3 * nat, 0.05))
+            r = md(0.4, 64, 300.0, axyz=axyz, dyn=dyn, nstop=1, npie=2,
+                   dtype=jnp.float64, seed=11, outdir=str(outdir),
+                   block=block)
+            gwl = np.linspace(0.0, 0.6, 8)
+            gam = np.array([np.eye(3) * 0.02] * 8)
+            pb = B.phbath(300.0, range(3), 0.3, 16, 0.4, 64, ml=9,
+                          gamma=gam, gwl=gwl, dtype=jnp.float64)
+            r.AddBath(pb)
+            return r
+
+        d1, d2 = tmp_path / "plain", tmp_path / "blocked"
+        d1.mkdir(); d2.mkdir()
+        build(d1, None).Run()
+        build(d2, 8).Run()
+        k1 = (d1 / "kappa.300.bath0.run0.dat").read_text()
+        k2 = (d2 / "kappa.300.bath0.run0.dat").read_text()
+        v1 = float(k1.split()[2]); v2 = float(k2.split()[2])
+        assert v1 == pytest.approx(v2, rel=1e-7)
