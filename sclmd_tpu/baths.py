@@ -49,6 +49,11 @@ def _as_f(x, dtype):
     return jnp.asarray(x, dtype=dtype)
 
 
+def exlist(a, indices):
+    """Gather rows by index (baths.py:12-14)."""
+    return jnp.asarray(a)[jnp.asarray(indices)]
+
+
 # ---------------------------------------------------------------------------
 # Electron bath
 # ---------------------------------------------------------------------------

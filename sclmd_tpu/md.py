@@ -649,6 +649,11 @@ class md:
                             jnp.asarray(self.hw, self.dtype),
                             jnp.asarray(self.U, self.dtype), self.T)
 
+    def get_atommass(self):
+        """Per-atom mass list from element names (md.py:132-136)."""
+        self.mass = [U.AtomicMassTable[el] for el in self.els]
+        return self.mass
+
     def info(self):
         print("-" * 44)
         print("TPU GLE MD: na=%s dt=%s nmd=%s ml=%s baths=%d" %

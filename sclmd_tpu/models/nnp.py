@@ -267,3 +267,34 @@ class deepmddriver:
 
     def dynmat(self, q=None, **kw):
         return self._drv.dynmat(q, **kw)
+
+    # -- reference-named launchers (deepmddriver.py:16-56) ------------
+    def dpstart(self, path):
+        """Load persisted model parameters and rebind the force path —
+        the analog of the reference's DeepPot(.pb) launch
+        (deepmddriver.py:52-56)."""
+        self.model.load(path)
+        self.refresh()
+        self.initforce()
+
+    def deepmdstr(self, strinfile, fmt, label="LabeledSystem",
+                  atomname=None, md2ang=0.06466):
+        """dpdata-based structure ingestion (deepmddriver.py:16-50);
+        dpdata is gated in this image — construct the driver from an
+        ``axyz`` list instead."""
+        try:
+            import dpdata  # gated
+        except ImportError as e:
+            raise ImportError(
+                "deepmdstr needs dpdata (not in this image); pass axyz "
+                "to the constructor instead") from e
+        cls = getattr(dpdata, label)
+        sysd = cls(strinfile, fmt)
+        names = atomname if label == "System" else sysd["atom_names"]
+        types = sysd["atom_types"]
+        xyz = np.asarray(sysd["coords"][0])
+        axyz = [[names[t]] + list(xyz[i]) for i, t in enumerate(types)]
+        self._axyz = axyz
+        self._md2ang = md2ang
+        self.refresh()
+        return axyz

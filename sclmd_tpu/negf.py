@@ -192,6 +192,70 @@ class bpt:
     def gamma(self, Pi):
         return -1j * (Pi - jnp.conjugate(Pi).T)
 
+    # -- reference-named self-energy surface (negf.py:153-204). These
+    # return full post-cleanse matrices from ORIGINAL (pre-deletion)
+    # DOF ids, exactly like the reference; the batched sweep internals
+    # (_sigma_diag/_bias_block/_kbias_block) are the hot path.
+    def cleanse(self, semat):
+        """Fixed-DOF deletion of a full-space matrix (negf.py:195-204)."""
+        out = self._cleanse(np.asarray(semat), axes=(0, 1))
+        if len(out) != self.nd:
+            raise ValueError("System DOF test failed, check again")
+        return out
+
+    def retarselfenergy(self, omega, dofatoms):
+        """Wideband Sigma^r(w) on the given DOFs (negf.py:153-157)."""
+        semat = np.zeros((self.nd0, self.nd0), complex)
+        ids = np.asarray(list(dofatoms), np.int64)
+        semat[ids, ids] = -1j * omega / self.damp
+        return self.cleanse(semat)
+
+    def advanselfenergy(self, omega, dofatoms):
+        return self.retarselfenergy(omega, dofatoms).conjugate().T
+
+    def retarbiasselfenergy(self, omega, dofatoms):
+        """Bias block Sigma^r_bias (negf.py:162-172); 0 when unbiased."""
+        if not self.isbias:
+            return 0
+        semat = np.zeros((self.nd0, self.nd0), complex)
+        ids = np.asarray(list(dofatoms), np.int64)
+        semat[np.ix_(ids, ids)] = (-1j * omega * self.biasgamma
+                                   - self.bias * self.chiminus)
+        return self.cleanse(semat)
+
+    def advanbiasselfenergy(self, omega, dofatoms):
+        b = self.retarbiasselfenergy(omega, dofatoms)
+        return 0 if np.isscalar(b) else b.conjugate().T
+
+    def kselfenergy(self, omega, T, dofatoms):
+        """Keldysh Sigma^K = -2 Im Sigma^r n_B (negf.py:177-178)."""
+        return -2 * np.imag(self.retarselfenergy(omega, dofatoms)) \
+            * float(self.bosedist(omega, T))
+
+    def kbiasselfenergy(self, omega, T, dofatoms):
+        """Bias Keldysh self-energy with the chi+- combination
+        (negf.py:180-193); 0 when unbiased."""
+        if not self.isbias:
+            return 0
+        nB = lambda w: float(self.bosedist(w, T))
+        semat = np.zeros((self.nd0, self.nd0), complex)
+        ids = np.asarray(list(dofatoms), np.int64)
+        blk = ((self.chiplus - 1j * self.chiminus) * (omega + self.bias)
+               * (2 * nB(omega + self.bias) - 2 * nB(omega))
+               + (self.chiplus + 1j * self.chiminus) * (omega - self.bias)
+               * (2 * nB(omega - self.bias) - 2 * nB(omega))) / 2
+        semat[np.ix_(ids, ids)] = blk
+        return (1j * self.retarbiasselfenergy(omega, dofatoms)) \
+            * 2 * nB(omega) + self.cleanse(semat)
+
+    def totalkselfenergy(self, omega, T):
+        """Sum of both leads' and the bias Keldysh self-energies
+        (negf.py:195-196)."""
+        out = self.kselfenergy(omega, T, self.dofatomofbath[0]) \
+            + self.kselfenergy(omega, T, self.dofatomofbath[1])
+        kb = self.kbiasselfenergy(omega, T, self.dofatomofbias)
+        return out if np.isscalar(kb) else out + kb
+
     # ------------------------------------------------------------------
     def tm(self, omega):
         """Caroli transmission at one omega (ps^-1) (negf.py:240-243)."""

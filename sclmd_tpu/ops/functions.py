@@ -206,6 +206,10 @@ def mdot(*args):
     return out
 
 
+# reference alias (functions.py:159-164 has both mdot and mm)
+mm = mdot
+
+
 def chkShape(a) -> int:
     a = np.asarray(a)
     if a.ndim != 2 or a.shape[0] != a.shape[1]:

@@ -272,3 +272,27 @@ def dumpke(timestep, trajectoriesfiles, atommass, workdir="."):
     np.savetxt(os.path.join(workdir, "kineticenergyaverage.dat"),
                ke.mean(axis=0), header="Kinetic Energy(eV)")
     return ke
+
+
+def predeepmd(infile, fmt, outfile="deepmd_data", size=5):
+    """dpdata-based DeepMD training-data prep (tools.py:262-276): load a
+    labelled trajectory, write deepmd npy train/validation splits.
+
+    dpdata is not in this image — the import is gated; the native
+    alternative that needs no external package is ``prepare_nnp_data``
+    (perturb a force driver, write the DeepPotSE npz dataset).
+    """
+    try:
+        import dpdata  # gated
+    except ImportError as e:
+        raise ImportError(
+            "predeepmd needs dpdata (not in this image); use "
+            "prepare_nnp_data(driver, ...) for the native "
+            "models.nnp.DeepPotSE training path") from e
+    data = dpdata.LabeledSystem(infile, fmt=fmt)
+    idx = np.random.choice(len(data), size=size, replace=False)
+    val = data.sub_system(idx)
+    trn = data.sub_system([i for i in range(len(data)) if i not in idx])
+    trn.to_deepmd_npy(os.path.join(outfile, "training_data"))
+    val.to_deepmd_npy(os.path.join(outfile, "validation_data"))
+    return len(trn), len(val)

@@ -294,3 +294,56 @@ class TestWriteVSim:
         b = bpt(d / U.RPC ** 2, 0.7, 20.0, [[0], [5]], num=5)
         with pytest.raises(ValueError, match="write_v_sim"):
             b.write_v_sim("nowhere.ascii")
+
+
+class TestReferenceSelfEnergyMethods:
+    """The reference-named self-energy surface (negf.py:153-204) must be
+    consistent with the batched sweep internals."""
+
+    def _biased(self, n=8):
+        k, damp = 0.1, 20.0
+        d = np.zeros((n, n))
+        for i in range(n - 1):
+            d[i, i] += k; d[i + 1, i + 1] += k
+            d[i, i + 1] -= k; d[i + 1, i] -= k
+        b = bpt(d / U.RPC ** 2, 0.7, damp, [[0], [n - 1]], num=5)
+        nb = 2
+        b.setbias(0.05, bdamp=np.eye(nb) * 0.02,
+                  chiplus=np.eye(nb) * 0.01, chiminus=np.eye(nb) * 0.005,
+                  dofatomofbias=[3, 4])
+        return b
+
+    def test_retar_and_advan(self):
+        b = self._biased()
+        w = 0.3 / U.RPC
+        se = b.retarselfenergy(w, b.dofatomofbath[0])
+        assert se.shape == (b.nd, b.nd)
+        np.testing.assert_allclose(se[0, 0], -1j * w / b.damp)
+        assert abs(se[1, 1]) == 0
+        np.testing.assert_allclose(
+            b.advanselfenergy(w, b.dofatomofbath[0]), se.conj().T)
+
+    def test_keldysh_fdt(self):
+        b = self._biased()
+        w, T = 0.3 / U.RPC, 300.0
+        kse = b.kselfenergy(w, T, b.dofatomofbath[0])
+        nB = float(b.bosedist(w, T))
+        np.testing.assert_allclose(kse[0, 0], 2 * w / b.damp * nB)
+
+    def test_bias_block_matches_internals(self):
+        b = self._biased()
+        w = 0.3 / U.RPC
+        se = b.retarbiasselfenergy(w, b.dofatomofbias)
+        blk = np.asarray(b._bias_block(np.asarray([w]))[0])
+        sel = np.asarray(b._bathsel(b.dofatomofbias))
+        np.testing.assert_allclose(se[np.ix_(sel, sel)], blk, rtol=1e-12)
+        tot = b.totalkselfenergy(w, 300.0)
+        assert tot.shape == (b.nd, b.nd)
+        assert np.isfinite(tot).all()
+
+    def test_unbiased_returns_zero(self):
+        k, damp = 0.1, 20.0
+        d = np.eye(6) * k
+        b = bpt(d / U.RPC ** 2, 0.7, damp, [[0], [5]], num=5)
+        assert b.retarbiasselfenergy(0.1, []) == 0
+        assert b.kbiasselfenergy(0.1, 300.0, []) == 0

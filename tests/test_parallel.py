@@ -103,3 +103,27 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     assert np.isfinite(np.asarray(out[0])).all()
+
+
+@pytest.mark.parametrize("tp", [None, "tp"])
+def test_sharded_blocked_matches_unsharded(key, tp):
+    """The blocked fast path under dp(+tp) sharding == unsharded."""
+    mesh = make_mesh({"dp": 4, "tp": 2}) if tp else make_mesh({"dp": 8})
+    system = _small_system(nph=16, nmd=32)
+    # add a non-local bath so the blocked machinery engages
+    gwl = np.linspace(0.0, 0.6, 8)
+    gam = np.array([np.eye(2) * 0.02] * 8)
+    pb = B.phbath(290.0, [7, 8], 0.3, 16, system.dt, system.nmd, ml=6,
+                  gamma=gam, gwl=gwl, dtype=jnp.float64)
+    system = system.replace(baths=system.baths + (pb,), ml=6)
+    n = 8
+    bsys = ensemble_noise(system, key, n)
+    states = ensemble_states(bsys, n)
+    f_ref, ys_ref = ensemble_run(bsys, states, 12, block=4)
+    ssys, sstates = shard_ensemble(mesh, bsys, states, dp="dp", tp=tp)
+    with mesh:
+        f_sh, ys_sh = ensemble_run(ssys, sstates, 12, block=4)
+    np.testing.assert_allclose(np.asarray(f_sh.p), np.asarray(f_ref.p),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(ys_sh["cur"]),
+                               np.asarray(ys_ref["cur"]), rtol=1e-10)
