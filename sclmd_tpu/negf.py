@@ -261,31 +261,53 @@ class bpt:
         """Caroli transmission at one omega (ps^-1) (negf.py:240-243)."""
         return float(self._tm_batch(jnp.asarray([omega], jnp.float64))[0])
 
-    def _tm_batch(self, omegas):
+    def _tm_one(self, w):
+        """Caroli transmission at one (traced) omega: solve only the G
+        columns on the left-bath DOFs."""
         selL = jnp.asarray(self._bathsel(self.dofatomofbath[0]))
         selR = jnp.asarray(self._bathsel(self.dofatomofbath[1]))
-        D = jnp.asarray(self.dynmat)
         nd = self.nd
+        a = self._amatrix(w[None])[0]
+        rhs = jnp.zeros((nd, selL.shape[0]),
+                        jnp.complex128).at[selL, jnp.arange(
+                            selL.shape[0])].set(1.0)
+        gcols = jnp.linalg.solve(a, rhs)            # (nd, nL)
+        gl = 2.0 * w / self.damp                     # Gamma diag value
+        grows = gcols[selR, :]                       # (nR, nL)
+        val = jnp.real(jnp.sum(jnp.abs(grows) ** 2)) * gl * gl
+        # Gamma(0) = 0 => T(0) = 0; also shields the w=0 singular solve
+        return jnp.where(w == 0.0, 0.0, val)
 
-        def one(w):
-            a = self._amatrix(w[None])[0]
-            # columns of G on the left-bath DOFs
-            rhs = jnp.zeros((nd, selL.shape[0]),
-                            jnp.complex128).at[selL, jnp.arange(
-                                selL.shape[0])].set(1.0)
-            gcols = jnp.linalg.solve(a, rhs)        # (nd, nL)
-            gl = 2.0 * w / self.damp                 # Gamma diag value
-            grows = gcols[selR, :]                   # (nR, nL)
-            val = jnp.real(jnp.sum(jnp.abs(grows) ** 2)) * gl * gl
-            # Gamma(0) = 0 => T(0) = 0; also shields the w=0 singular solve
-            return jnp.where(w == 0.0, 0.0, val)
-
-        return jax.lax.map(jax.jit(one), omegas,
+    def _tm_batch(self, omegas):
+        return jax.lax.map(jax.jit(self._tm_one), omegas,
                            batch_size=self.batch_size)
 
-    def gettm(self, vector=False):
+    def _tm_batch_sharded(self, x, mesh, axis=None):
+        """Energy-grid parallelism over a device mesh: the omega grid is
+        sharded along ``axis`` and the vmapped column-solves partition
+        across devices (the multi-chip replacement for the reference's
+        serial tqdm omega loop, negf.py:112-116)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = axis or mesh.axis_names[0]
+        ndev = mesh.shape[axis]
+        n = len(x)
+        npad = (-n) % ndev
+        # pad with in-band points (w=0-safe) so every shard is equal
+        xs = jnp.asarray(np.pad(np.asarray(x, np.float64), (0, npad)))
+        xs = jax.device_put(xs, NamedSharding(mesh, P(axis)))
+        with mesh:
+            out = jax.jit(jax.vmap(self._tm_one))(xs)
+            jax.block_until_ready(out)
+        return np.asarray(out)[:n]
+
+    def gettm(self, vector=False, mesh=None, shard_axis=None):
+        """Transmission sweep; pass a jax.sharding.Mesh to distribute
+        the energy grid across devices."""
         x = np.linspace(0, self.maxomega, self.intnum + 1)
-        tm = np.asarray(self._tm_batch(jnp.asarray(x)))
+        if mesh is not None:
+            tm = self._tm_batch_sharded(x, mesh, shard_axis)
+        else:
+            tm = np.asarray(self._tm_batch(jnp.asarray(x)))
         self.tmnumber = np.column_stack((x, tm))
         if self.write_files:
             np.savetxt("transmission.dat",

@@ -347,3 +347,21 @@ class TestReferenceSelfEnergyMethods:
         b = bpt(d / U.RPC ** 2, 0.7, damp, [[0], [5]], num=5)
         assert b.retarbiasselfenergy(0.1, []) == 0
         assert b.kbiasselfenergy(0.1, 300.0, []) == 0
+
+
+class TestShardedEnergyGrid:
+    def test_gettm_sharded_matches_serial(self):
+        """Energy-grid parallelism: omega sweep sharded over the 8-device
+        mesh == the single-device sweep."""
+        from sclmd_tpu.parallel.ensemble import make_mesh
+        k, damp = 0.1, 20.0
+        n = 10
+        d = np.zeros((n, n))
+        for i in range(n - 1):
+            d[i, i] += k; d[i + 1, i + 1] += k
+            d[i, i + 1] -= k; d[i + 1, i] -= k
+        b = bpt(d / U.RPC ** 2, 0.7, damp, [[0, 1], [8, 9]], num=37)
+        tm_serial = b.gettm().copy()
+        mesh = make_mesh({"ep": 8})
+        tm_sharded = b.gettm(mesh=mesh)
+        np.testing.assert_allclose(tm_sharded, tm_serial, rtol=1e-12)
