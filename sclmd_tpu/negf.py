@@ -410,14 +410,30 @@ class bpt:
                            batch_size=self.batch_size)
 
     def getps(self, T, maxomega, intnum, atomlist=None, filename=None,
-              vector=False, omegalist=None):
+              vector=False, omegalist=None, mesh=None, shard_axis=None):
+        """Power-spectrum sweep; pass a jax.sharding.Mesh to distribute
+        the energy grid across devices (as in gettm)."""
         if atomlist is None:
             atomlist = np.arange(self.nd0)[self._keep]
         if omegalist is not None:
             x2 = np.sort(np.asarray(omegalist)) / self.rpc
         else:
             x2 = np.linspace(0, maxomega / self.rpc, intnum + 1)
-        ps = np.asarray(self._ps_batch(jnp.asarray(x2), T, atomlist))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            axis = shard_axis or mesh.axis_names[0]
+            npad = (-len(x2)) % mesh.shape[axis]
+            xs = jnp.asarray(np.pad(np.asarray(x2, np.float64),
+                                    (0, npad)))
+            xs = jax.device_put(xs, NamedSharding(mesh, P(axis)))
+            sel = np.asarray(list(atomlist))
+            with mesh:
+                one = (lambda w: self._ps_batch(w[None], T, sel)[0])
+                out = jax.jit(jax.vmap(one))(xs)
+                jax.block_until_ready(out)
+            ps = np.asarray(out)[: len(x2)]
+        else:
+            ps = np.asarray(self._ps_batch(jnp.asarray(x2), T, atomlist))
         self.psnumber = np.column_stack((x2, ps))
         if self.write_files:
             name = f"powerspectrum.{filename}.{T}.dat" if filename \

@@ -365,3 +365,17 @@ class TestShardedEnergyGrid:
         mesh = make_mesh({"ep": 8})
         tm_sharded = b.gettm(mesh=mesh)
         np.testing.assert_allclose(tm_sharded, tm_serial, rtol=1e-12)
+
+    def test_getps_sharded_matches_serial(self):
+        from sclmd_tpu.parallel.ensemble import make_mesh
+        k, damp = 0.1, 20.0
+        n = 6
+        d = np.zeros((n, n))
+        for i in range(n - 1):
+            d[i, i] += k; d[i + 1, i + 1] += k
+            d[i, i + 1] -= k; d[i + 1, i] -= k
+        b = bpt(d / U.RPC ** 2, 0.7, damp, [[0], [5]], num=13)
+        ps_serial = b.getps(300.0, 0.6, 13).copy()
+        mesh = make_mesh({"ep": 8})
+        ps_sharded = b.getps(300.0, 0.6, 13, mesh=mesh)
+        np.testing.assert_allclose(ps_sharded, ps_serial, rtol=1e-12)
