@@ -224,29 +224,48 @@ class sig:
         return -1j * (Pi - jnp.conjugate(Pi).T)
 
     # -- batched sweeps ----------------------------------------------------
-    def _sigma_batch(self, wl, direction):
+    def _sigma_batch(self, wl, direction, mesh=None, shard_axis=None):
         s, e, alpha = self._blocks(direction)
         s, e, alpha = map(jnp.asarray, (s, e, alpha))
         post_l, post_r = ((self.K01, self.K10) if direction == "R"
                           else (self.K10, self.K01))
         post_l, post_r = jnp.asarray(post_l), jnp.asarray(post_r)
 
-        @jax.jit
-        def run(ws):
-            def one(w):
-                g, niter, conv = surface_gf(w, e, s, alpha, eta=self.eta)
-                return post_l @ g @ post_r, conv
-            return jax.lax.map(one, ws, batch_size=64)
+        def one(w):
+            g, niter, conv = surface_gf(w, e, s, alpha, eta=self.eta)
+            return post_l @ g @ post_r, conv
 
-        se, conv = run(jnp.asarray(wl))
+        if mesh is not None:
+            # energy-grid parallelism: shard the omega grid over a mesh
+            # axis; the vmapped decimation while_loops partition across
+            # devices
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            axis = shard_axis or mesh.axis_names[0]
+            n = len(wl)
+            npad = (-n) % mesh.shape[axis]
+            ws = jnp.asarray(np.pad(np.asarray(wl, np.float64),
+                                    (0, npad), constant_values=wl[-1]))
+            ws = jax.device_put(ws, NamedSharding(mesh, P(axis)))
+            with mesh:
+                se, conv = jax.jit(jax.vmap(one))(ws)
+                jax.block_until_ready(se)
+            se, conv = se[:n], conv[:n]
+        else:
+            @jax.jit
+            def run(ws):
+                return jax.lax.map(one, ws, batch_size=64)
+
+            se, conv = run(jnp.asarray(wl))
         if not bool(jnp.all(conv)):
             raise ValueError(
                 "Iteration number exceeded 100, please increase eta")
         return se
 
-    def getse(self, direction):
-        """Sigma(w) sweep + lead DOS (selfenergy.py:153-166)."""
-        se = self._sigma_batch(self.ep, direction)
+    def getse(self, direction, mesh=None, shard_axis=None):
+        """Sigma(w) sweep + lead DOS (selfenergy.py:153-166); pass a
+        jax.sharding.Mesh to distribute the grid across devices."""
+        se = self._sigma_batch(self.ep, direction, mesh=mesh,
+                               shard_axis=shard_axis)
         dosx = -jnp.einsum("wii->w", jnp.imag(se)) * \
             jnp.asarray(self.ep) / np.pi
         self.dos = np.column_stack((self.ep, np.asarray(dosx)))

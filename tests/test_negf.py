@@ -379,3 +379,19 @@ class TestShardedEnergyGrid:
         mesh = make_mesh({"ep": 8})
         ps_sharded = b.getps(300.0, 0.6, 13, mesh=mesh)
         np.testing.assert_allclose(ps_sharded, ps_serial, rtol=1e-12)
+
+    def test_getse_sharded_matches_serial(self):
+        from sclmd_tpu.parallel.ensemble import make_mesh
+        k = 0.1
+        n = 16
+        d = np.zeros((n, n))
+        for i in range(n - 1):
+            d[i, i] += k; d[i + 1, i + 1] += k
+            d[i, i + 1] -= k; d[i + 1, i] -= k
+        d[0, 0] += k; d[-1, -1] += k
+        mode = sig(d / U.RPC ** 2, 0.6, range(8, 10), range(10, 12),
+                   num=21, eta=1e-3)
+        se_serial = mode.getse("L").copy()
+        mesh = make_mesh({"ep": 8})
+        se_sharded = mode.getse("L", mesh=mesh)
+        np.testing.assert_allclose(se_sharded, se_serial, rtol=1e-10)
