@@ -32,6 +32,19 @@ def _sync(x):
     return x
 
 
+def _timed(fn, reps=5):
+    """Median wall time of reps calls (the tunnel chip is shared:
+    run-to-run variance on short programs is +-40%, so single-shot
+    timings are not reproducible; medians are)."""
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _sync(fn())
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2], min(ts)
+
+
 def primary(jax, jnp):
     from sclmd_tpu import baths as B
     from sclmd_tpu.md import (GLESystem, initial_state, run_segment_blocked)
@@ -71,25 +84,26 @@ def primary(jax, jnp):
     bl = pbl.gnoi_np(2).replace(nevecs=None, nstd=None)
     br = pbr.gnoi_np(3).replace(nevecs=None, nstd=None)
     f1 = scan_run(64)
-    _sync(f1(dyn, mask, bl, br))                      # compile
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        out = _sync(f1(dyn, mask, bl, br))
-    dt_scan = (time.perf_counter() - t0) / reps
-    single_sps = nmd / dt_scan
+    out = _sync(f1(dyn, mask, bl, br))                # compile
     _, jl, jr, finite = out[0], out[1], out[2], out[3]
+    t_med, t_best = _timed(lambda: f1(dyn, mask, bl, br), reps=7)
+    single_sps = nmd / t_med
+    single_best = nmd / t_best
 
     # ---- same, including per-run host noise regeneration (the
     # reference workflow regenerates noise every run; r1's bench
     # timed THIS, which is why its number undershot the scan-only
     # claim — both are now reported) ----
-    t0 = time.perf_counter()
-    for r in range(reps):
-        bl2 = pbl.gnoi_np(10 + r).replace(nevecs=None, nstd=None)
-        br2 = pbr.gnoi_np(20 + r).replace(nevecs=None, nstd=None)
-        _sync(f1(dyn, mask, bl2, br2))
-    regen_sps = reps * nmd / (time.perf_counter() - t0)
+    seed = [0]
+
+    def regen():
+        seed[0] += 1
+        bl2 = pbl.gnoi_np(10 + seed[0]).replace(nevecs=None, nstd=None)
+        br2 = pbr.gnoi_np(20 + seed[0]).replace(nevecs=None, nstd=None)
+        return f1(dyn, mask, bl2, br2)
+
+    t_med, _ = _timed(regen, reps=3)
+    regen_sps = nmd / t_med
 
     # ---- ensembles (blocked, block=256 — measured best on this chip) ----
     from sclmd_tpu.md import run_segment_blocked as rsb
@@ -120,12 +134,12 @@ def primary(jax, jnp):
                         for i in range(ntraj)])
         f = ens_run(256, ntraj)
         _sync(f(dyn, mask, bl0, br0, nzL, nzR))
-        t0 = time.perf_counter()
-        o = _sync(f(dyn, mask, bl0, br0, nzL, nzR))
-        tr = time.perf_counter() - t0
-        ens[ntraj] = round(ntraj * nmd / tr, 1)
+        t_med, _ = _timed(lambda: f(dyn, mask, bl0, br0, nzL, nzR),
+                          reps=5 if ntraj <= 32 else 3)
+        ens[ntraj] = round(ntraj * nmd / t_med, 1)
     return {
-        "single_sps": single_sps, "regen_sps": regen_sps,
+        "single_sps": single_sps, "single_best_sps": single_best,
+        "regen_sps": regen_sps,
         "ens": ens, "J_left": float(jl), "J_right": float(jr),
         "finite": bool(finite),
     }
@@ -191,11 +205,9 @@ def config5(jax, jnp):
         curs, fins = jax.vmap(one)(nzL, nzR)
         return jnp.mean(curs, axis=0), fins.all()
 
-    _sync(f(dyn, mask, bl0, br0, nzL, nzR))
-    t0 = time.perf_counter()
     o = _sync(f(dyn, mask, bl0, br0, nzL, nzR))
-    tr = time.perf_counter() - t0
-    return {"tsps": round(ntraj * nmd / tr, 1),
+    t_med, _ = _timed(lambda: f(dyn, mask, bl0, br0, nzL, nzR), reps=3)
+    return {"tsps": round(ntraj * nmd / t_med, 1),
             "finite": bool(np.asarray(o[1])),
             "ntraj": ntraj, "atoms": natoms}
 
@@ -214,7 +226,10 @@ def main():
         "value": round(p["single_sps"], 1),
         "unit": "steps/s",
         "vs_baseline": round(p["single_sps"] / BASELINE_STEPS_PER_SEC, 1),
+        "single_best_steps_per_sec": round(p["single_best_sps"], 1),
         "with_noise_regen_steps_per_sec": round(p["regen_sps"], 1),
+        "timing": "median over repeated runs (shared chip, +-40% "
+                  "single-shot variance)",
         "ensemble_traj_steps_per_sec": best_ens,
         "ensemble_block": 256,
         "ensemble_scaling": {str(k): v for k, v in p["ens"].items()},

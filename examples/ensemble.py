@@ -32,10 +32,16 @@ nph, dt, nmd, T, delta = 100, 0.25 / 0.658, 1024, 300.0, 0.1
 dyn = jnp.asarray(chain_dynmat(nph, 0.04), jnp.float32)
 eta = np.eye(10) * (0.658 / 100)
 ebl = B.ebath(range(10), T * (1 + delta / 2), dt, nmd, wmax=1.0, efric=eta)
-ebr = B.ebath(range(nph - 10, nph), T * (1 - delta / 2), dt, nmd,
-              wmax=1.0, efric=eta)
-system = GLESystem(dyn=dyn, baths=(ebl, ebr), mask=jnp.ones(nph),
-                   dt=dt, nph=nph, ml=1, nmd=nmd)
+# right lead: non-Markovian memory kernel -> the blocked-convolution
+# fast path (md.run_segment_blocked) engages
+ml = 128
+gwl = np.linspace(0.0, 0.6, 32)
+gam = np.array([np.eye(10) * 0.01 * np.exp(-(w / 0.25) ** 2)
+                for w in gwl])
+pbr = B.phbath(T * (1 - delta / 2), range(nph - 10, nph), 0.3, 64,
+               dt, nmd, ml=ml, gamma=gam, gwl=gwl)
+system = GLESystem(dyn=dyn, baths=(ebl, pbr), mask=jnp.ones(nph),
+                   dt=dt, nph=nph, ml=ml, nmd=nmd)
 
 bsys = ensemble_noise(system, jax.random.PRNGKey(0), ntraj)
 states = ensemble_states(bsys, ntraj)
@@ -52,10 +58,10 @@ else:
 
 with ctx:
     t0 = time.time()
-    finals, ys = ensemble_run(bsys, states, nmd)
+    finals, ys = ensemble_run(bsys, states, nmd, block=128)
     jax.block_until_ready(finals.p)
     t1 = time.time()
-    finals, ys = ensemble_run(bsys, finals, nmd)
+    finals, ys = ensemble_run(bsys, finals, nmd, block=128)
     jax.block_until_ready(finals.p)
     t2 = time.time()
 
