@@ -246,6 +246,83 @@ def test_phonon_bath_conductance_matches_negf(key):
 
 
 @pytest.mark.slow
+def test_usek_lead_blocks_conductance_matches_negf(key):
+    """End-to-end validation of the K00/K01/V01 bath mode (the mode the
+    reference declares but aborts on, baths.py:316-320): MD with
+    memory-kernel baths built from semi-infinite-chain lead blocks must
+    reproduce the NEGF current computed from the SAME decimated
+    self-energy.
+
+    Bookkeeping pinned by this test: the GLE kernel reproduces
+    Sigma(w) - Sigma(0), so the MD dynamical matrix is the BARE device
+    (end onsite k); the NEGF side uses the bulk-onsite device block
+    (2k at the ends) with the full Sigma(w). Classical statistics keep
+    the variance manageable; the residual systematic is the noise-grid
+    dw (measured -10%, dt- and ml-independent), hence the 15% bound.
+    """
+    from sclmd_tpu.selfenergy import lead_selfenergy_from_blocks_np
+    from sclmd_tpu.md import run_segment_blocked
+
+    k = 0.04
+    nph = 8
+    dt, nmd = 0.25 / 0.658, 2 ** 13
+    ml = 256
+    T, delta = 300.0, 0.5
+    TL, TR = T * (1 + delta / 2), T * (1 - delta / 2)
+
+    D = np.array(chain_dynmat(nph, k))
+    D_negf = D.copy()
+    D_negf[0, 0] += k
+    D_negf[-1, -1] += k
+    K00 = np.array([[2 * k]])
+    K01 = np.array([[-k]])
+    V01 = np.array([[-k]])
+
+    # NEGF: dense Caroli with the decimated Sigma on both ends
+    ws = np.linspace(1e-4, 2.2 * np.sqrt(k), 2000)
+    sig_w = lead_selfenergy_from_blocks_np(K00, K01, V01, ws, eta=1e-6)
+    tm = []
+    for i, w in enumerate(ws):
+        se = np.zeros((nph, nph), complex)
+        se[0, 0] = sig_w[i, 0, 0]
+        se[-1, -1] = sig_w[i, 0, 0]
+        g = np.linalg.inv((w + 1e-9j) ** 2 * np.eye(nph) - D_negf - se)
+        gam = -2 * np.imag(sig_w[i, 0, 0])
+        gl = np.zeros((nph, nph)); gl[0, 0] = gam
+        gr = np.zeros((nph, nph)); gr[-1, -1] = gam
+        tm.append(np.real(np.trace(g @ gl @ g.conj().T @ gr)))
+    j_negf = np.trapezoid(np.array(tm), ws) * U.KB * (TL - TR) \
+        / (2 * np.pi)
+    assert max(tm) > 0.99          # perfect chain: ballistic in band
+
+    def mk(Tb, cid):
+        return B.phbath(Tb, [cid], np.sqrt(k), 400, dt, nmd, ml=ml,
+                        K00=K00, K01=K01, V01=V01, mcof=2.2,
+                        classical=True, dtype=jnp.float64)
+
+    pbl, pbr = mk(TL, 0), mk(TR, nph - 1)
+    nens = 48
+    keys = jax.random.split(key, (nens, 2))
+    mask = jnp.ones(nph)
+
+    def one(ks):
+        bl = pbl.gnoi(ks[0]).replace(nevecs=None, nstd=None)
+        br = pbr.gnoi(ks[1]).replace(nevecs=None, nstd=None)
+        sysb = make_system(jnp.asarray(D), [bl, br], dt, nmd)
+        _, ys = run_segment_blocked(
+            sysb, initial_state(sysb, dtype=jnp.float64), nmd, block=64)
+        cur = ys["cur"][nmd // 4:]
+        return (jnp.mean(cur[:, 0]) - jnp.mean(cur[:, 1])) / 2
+
+    j = np.asarray(jax.vmap(one)(keys))
+    j_md = float(j.mean())
+    j_err = float(j.std() / np.sqrt(nens))
+    assert j_negf > 0
+    assert abs(j_md - j_negf) < max(3 * j_err, 0.15 * j_negf), (
+        j_md, j_err, j_negf)
+
+
+@pytest.mark.slow
 def test_equilibrium_power_spectrum_matches_negf(key):
     """Fluctuation-dissipation: the MD velocity power spectrum of an
     equilibrium junction matches the NEGF harmonic power spectrum
