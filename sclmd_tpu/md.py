@@ -835,8 +835,12 @@ class md:
                 os.remove(self._ckfile(j - 1))
         self.state = state
 
+    def _eck_file(self):
+        return os.path.join(self.outdir, "MDE.npz")
+
     def RunEnsemble(self, ntraj: int, nsteps: Optional[int] = None,
-                    equil_frac: float = 0.25, block: Optional[int] = None):
+                    equil_frac: float = 0.25, block: Optional[int] = None,
+                    npie: Optional[int] = None, checkpoint: bool = False):
         """Run ``ntraj`` independent trajectories as ONE vmapped program.
 
         The reference executes its ensemble sequentially (the
@@ -845,33 +849,99 @@ class md:
         scan. Writes the same kappa.T.bathI.runJ.dat files, so
         calHF/calTC aggregate unchanged. Returns the per-trajectory
         mean bath currents (ntraj, nbaths).
+
+        ``npie`` splits the run into segments (like Run's npie);
+        ``checkpoint=True`` dumps an MDE.npz bundle (batched state +
+        per-trajectory noise + accumulated currents) after every
+        segment and resumes from it — the production-ensemble analog of
+        the MD{j} resume semantics (md.py:511-567), with the same
+        noise-persistence reproducibility guarantee.
         """
         from sclmd_tpu.parallel.ensemble import (ensemble_noise,
                                                  ensemble_run,
                                                  ensemble_states)
         nsteps = nsteps or self.nmd
+        npie = npie or 1
+        if nsteps % npie:
+            raise ValueError(f"nsteps={nsteps} not divisible by "
+                             f"npie={npie}")
+        seg = nsteps // npie
         system = self._build_system()
-        bsys = ensemble_noise(system, self._next_key(), ntraj)
-        if self.dyn is not None and self.initranvel:
-            states = ensemble_states(
-                bsys, ntraj, key=self._next_key(),
-                hw=jnp.asarray(self.hw, self.dtype),
-                evecs=jnp.asarray(self.U, self.dtype), T=self.T)
-        else:
-            states = ensemble_states(bsys, ntraj)
-        block = block if block is not None else self.block
-        if block and nsteps % block:
-            block = None
-        finals, ys = ensemble_run(bsys, states, nsteps, block=block)
-        cur = np.asarray(jax.device_get(ys["cur"]))   # (ntraj, nsteps, nb)
-        if not np.isfinite(cur).all():
-            raise FloatingPointError(
-                "RunEnsemble: non-finite heat currents — reduce dt or "
-                "check the force driver")
+        nb = len(self.baths)
         skip = int(nsteps * equil_frac)
-        means = cur[:, skip:, :].mean(axis=1)
+
+        ipie0 = -1
+        cur_sum = np.zeros((ntraj, nb))
+        cur_cnt = 0
+        fn = self._eck_file()
+        if checkpoint and os.path.isfile(fn):
+            ck = np.load(fn)
+            if (ck["p"].shape != (ntraj, self.nph)
+                    or int(ck["nmd"][0]) != self.nmd
+                    or not np.isclose(float(ck["dt"][0]), self.dt)):
+                raise ValueError(
+                    f"{fn} holds a different ensemble setup — stale "
+                    "checkpoint; remove it or change outdir")
+            ipie0 = int(ck["ipie"][0])
+            cur_sum = np.asarray(ck["cur_sum"])
+            cur_cnt = int(ck["cur_cnt"][0])
+            states = MDState(
+                t=jnp.asarray(ck["t"], jnp.int32),
+                p=jnp.asarray(ck["p"], self.dtype),
+                q=jnp.asarray(ck["q"], self.dtype),
+                phis=jnp.asarray(ck["phis"], self.dtype),
+                qhis=jnp.asarray(ck["qhis"], self.dtype))
+            bsys = system.replace(baths=tuple(
+                system.baths[i].replace(
+                    noise=jnp.asarray(ck[f"noise{i}"]),
+                    nevecs=None, nstd=None)
+                for i in range(nb)))
+        else:
+            bsys = ensemble_noise(system, self._next_key(), ntraj)
+            if self.dyn is not None and self.initranvel:
+                states = ensemble_states(
+                    bsys, ntraj, key=self._next_key(),
+                    hw=jnp.asarray(self.hw, self.dtype),
+                    evecs=jnp.asarray(self.U, self.dtype), T=self.T)
+            else:
+                states = ensemble_states(bsys, ntraj)
+
+        block = block if block is not None else self.block
+        if block and seg % block:
+            block = None
+
+        finals = states
+        for i in range(ipie0 + 1, npie):
+            finals, ys = ensemble_run(bsys, finals, seg,
+                                      t0=(i * seg) % self.nmd,
+                                      block=block)
+            cur = np.asarray(jax.device_get(ys["cur"]))
+            if not np.isfinite(cur).all():
+                raise FloatingPointError(
+                    "RunEnsemble: non-finite heat currents in segment "
+                    f"{i} — reduce dt or check the force driver")
+            lo = max(0, skip - i * seg)
+            if lo < seg:
+                cur_sum += cur[:, lo:, :].sum(axis=1)
+                cur_cnt += seg - lo
+            if checkpoint:
+                data = {
+                    "p": np.asarray(finals.p), "q": np.asarray(finals.q),
+                    "t": np.asarray(finals.t),
+                    "phis": np.asarray(finals.phis),
+                    "qhis": np.asarray(finals.qhis),
+                    "ipie": np.asarray([i]),
+                    "nmd": np.asarray([self.nmd]),
+                    "dt": np.asarray([self.dt]),
+                    "cur_sum": cur_sum, "cur_cnt": np.asarray([cur_cnt]),
+                }
+                for ib, b in enumerate(bsys.baths):
+                    data[f"noise{ib}"] = np.asarray(b.noise)
+                np.savez(fn, **data)
+
+        means = cur_sum / max(cur_cnt, 1)
         for jtraj in range(ntraj):
-            for ii in range(len(self.baths)):
+            for ii in range(nb):
                 with open(os.path.join(
                         self.outdir,
                         f"kappa.{self.T:g}.bath{ii}.run{jtraj}.dat"),

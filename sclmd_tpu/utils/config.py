@@ -72,6 +72,7 @@ class MDConfig:
     save_power: bool = False
     save_traj: Optional[int] = None
     outdir: str = "."
+    block: Optional[int] = None      # blocked-convolution fast path
 
     def validate(self):
         _check(self.dt > 0, "dt must be positive")
@@ -115,7 +116,8 @@ class MDConfig:
         dtype = jnp.float64 if self.dtype == "float64" else jnp.float32
         runner = md(self.dt, self.nmd, self.T, axyz=axyz, dyn=dyn,
                     nstart=self.nstart, nstop=self.nstop, npie=self.npie,
-                    dtype=dtype, seed=self.seed, outdir=self.outdir)
+                    dtype=dtype, seed=self.seed, outdir=self.outdir,
+                    block=self.block)
         if driver_obj is not None:
             runner.AddPotential(driver_obj)
         for bc in self.baths:

@@ -189,3 +189,66 @@ class TestWrapperBlock:
         k2 = (d2 / "kappa.300.bath0.run0.dat").read_text()
         v1 = float(k1.split()[2]); v2 = float(k2.split()[2])
         assert v1 == pytest.approx(v2, rel=1e-7)
+
+
+class TestEnsembleCheckpoint:
+    def _runner(self, outdir, seed=11, block=8):
+        from sclmd_tpu.md import md
+        nat = 4
+        axyz = [["C", 1.0 * i, 0.0, 0.0] for i in range(nat)]
+        dyn = np.asarray(chain_dynmat(3 * nat, 0.05))
+        r = md(0.4, 64, 300.0, axyz=axyz, dyn=dyn, nstop=1,
+               dtype=jnp.float64, seed=seed, outdir=str(outdir),
+               block=block)
+        gwl = np.linspace(0.0, 0.6, 8)
+        gam = np.array([np.eye(3) * 0.02] * 8)
+        r.AddBath(B.phbath(310.0, range(3), 0.3, 16, 0.4, 64, ml=9,
+                           gamma=gam, gwl=gwl, dtype=jnp.float64))
+        r.AddBath(B.phbath(290.0, range(9, 12), 0.3, 16, 0.4, 64, ml=9,
+                           gamma=gam, gwl=gwl, dtype=jnp.float64))
+        return r
+
+    def test_interrupted_ensemble_resumes_identically(self, tmp_path,
+                                                      monkeypatch):
+        """Kill the segmented ensemble after 2 of 4 segments; a resumed
+        run (even with a different RNG seed — noise is persisted)
+        reproduces the uninterrupted result exactly."""
+        import sclmd_tpu.parallel.ensemble as PE
+
+        d1, d2 = tmp_path / "full", tmp_path / "cut"
+        d1.mkdir(); d2.mkdir()
+        means_a = self._runner(d1, seed=11).RunEnsemble(
+            6, npie=4, checkpoint=True)
+
+        orig = PE.ensemble_run
+        calls = {"n": 0}
+
+        def bomb(*a, **k):
+            if calls["n"] >= 2:
+                raise RuntimeError("killed mid-ensemble")
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        monkeypatch.setattr(PE, "ensemble_run", bomb)
+        with pytest.raises(RuntimeError, match="killed"):
+            self._runner(d2, seed=11).RunEnsemble(6, npie=4,
+                                                  checkpoint=True)
+        monkeypatch.setattr(PE, "ensemble_run", orig)
+        assert (d2 / "MDE.npz").exists()
+        means_b = self._runner(d2, seed=999).RunEnsemble(
+            6, npie=4, checkpoint=True)
+        np.testing.assert_allclose(means_b, means_a, rtol=1e-10)
+
+    def test_stale_ensemble_checkpoint_rejected(self, tmp_path):
+        self._runner(tmp_path, seed=1).RunEnsemble(4, npie=2,
+                                                   checkpoint=True)
+        with pytest.raises(ValueError, match="stale"):
+            self._runner(tmp_path, seed=1).RunEnsemble(8, npie=2,
+                                                       checkpoint=True)
+
+    def test_segmented_matches_single_segment(self, tmp_path):
+        d1, d2 = tmp_path / "one", tmp_path / "four"
+        d1.mkdir(); d2.mkdir()
+        m1 = self._runner(d1, seed=5).RunEnsemble(4)
+        m4 = self._runner(d2, seed=5).RunEnsemble(4, npie=4)
+        np.testing.assert_allclose(m4, m1, rtol=1e-9)
