@@ -161,6 +161,79 @@ def reordxyz(anr, xyz, ord):
     return [anr[i] for i in nl], [xyz[i] for i in nl]
 
 
+def read_lammps_data(filename, md2ang=None):
+    """Read a LAMMPS data file (the reference's workload inputs, e.g.
+    examples/structure.data) into driver-ready pieces.
+
+    Supports the ``atomic`` (id type x y z) and ``full``
+    (id mol type q x y z) Atoms styles; element names resolve from the
+    Masses section via the atomic-mass table. Returns a dict with
+    ``axyz`` ([[el, x, y, z], ...] sorted by atom id — feed directly to
+    any driver or ``md(axyz=...)``), ``cell`` (3, 3), ``els``,
+    ``masses``, ``types``.
+    """
+    from sclmd_tpu.units import get_atomname
+    masses = {}
+    box = {}
+    atoms = []
+    natoms = None
+    section = None
+    style = None
+    with open(filename) as fh:
+        for raw in fh:
+            line = raw.split("#", 1)[0].strip()
+            comment = raw.split("#", 1)[1].strip() if "#" in raw else ""
+            if not line:
+                continue
+            low = line.lower()
+            if low.endswith("atoms") and natoms is None and \
+                    line.split()[0].isdigit():
+                natoms = int(line.split()[0])
+                continue
+            if "xlo" in low or "ylo" in low or "zlo" in low:
+                parts = line.split()
+                box[parts[2][0]] = (float(parts[0]), float(parts[1]))
+                continue
+            if low == "masses":
+                section = "masses"
+                continue
+            if low == "atoms":
+                section = "atoms"
+                style = comment.lower() or "atomic"
+                continue
+            if low in ("velocities", "bonds", "angles", "dihedrals",
+                       "impropers", "pair coeffs", "bond coeffs"):
+                section = None
+                continue
+            if section == "masses":
+                parts = line.split()
+                masses[int(parts[0])] = float(parts[1])
+            elif section == "atoms":
+                parts = line.split()
+                if style.startswith("full"):
+                    aid, typ = int(parts[0]), int(parts[2])
+                    x, y, z = map(float, parts[4:7])
+                elif style.startswith("charge"):
+                    aid, typ = int(parts[0]), int(parts[1])
+                    x, y, z = map(float, parts[3:6])
+                else:  # atomic / molecular-ish fallback by column count
+                    aid, typ = int(parts[0]), int(parts[1])
+                    x, y, z = map(float, parts[2:5])
+                atoms.append((aid, typ, x, y, z))
+    if natoms is not None and len(atoms) != natoms:
+        raise ValueError(f"{filename}: header says {natoms} atoms, "
+                         f"parsed {len(atoms)}")
+    atoms.sort()
+    types = np.array([a[1] for a in atoms])
+    els = [get_atomname(masses[t]) or f"type{t}" for t in types]
+    axyz = [[els[i], a[2], a[3], a[4]] for i, a in enumerate(atoms)]
+    cell = np.diag([box[ax][1] - box[ax][0] for ax in ("x", "y", "z")]) \
+        if len(box) == 3 else None
+    return {"axyz": axyz, "cell": cell, "els": els,
+            "masses": np.array([masses[t] for t in types]),
+            "types": types}
+
+
 def cutlayers(xyz, nalayer, nl, nr, anr=None, snr=None, pbc=None,
               ord=None):
     """Cut ``nl`` leading and ``nr`` trailing layers off a layered

@@ -137,3 +137,50 @@ class TestCutlayers:
         xyz[:, 2] = np.arange(4)
         with pytest.raises(ValueError, match="cutlayers"):
             MIO.cutlayers(xyz, 1, nl=2, nr=2)
+
+
+class TestLammpsData:
+    def _write_full(self, path):
+        path.write_text(
+            "# LAMMPS data file written by OVITO\n"
+            "3 atoms\n2 atom types\n"
+            "0.0 10.0 xlo xhi\n0.0 12.0 ylo yhi\n0.0 8.0 zlo zhi\n\n"
+            "Masses\n\n1  12.0107 # C\n2  1.00794 # H\n\n"
+            "Atoms # full\n\n"
+            "2\t1\t1\t0\t1.0\t2.0\t3.0\n"
+            "1\t1\t2\t0\t0.0\t0.5\t0.25\n"
+            "3\t1\t1\t0\t4.0\t5.0\t6.0\n")
+
+    def test_full_style(self, tmp_path):
+        fn = tmp_path / "structure.data"
+        self._write_full(fn)
+        d = MIO.read_lammps_data(str(fn))
+        # sorted by atom id; types resolve to element names via masses
+        assert d["els"] == ["H", "C", "C"]
+        np.testing.assert_allclose(d["axyz"][0][1:], [0.0, 0.5, 0.25])
+        np.testing.assert_allclose(d["axyz"][1][1:], [1.0, 2.0, 3.0])
+        np.testing.assert_allclose(np.diag(d["cell"]), [10.0, 12.0, 8.0])
+        np.testing.assert_allclose(d["masses"], [1.00794, 12.0107,
+                                                 12.0107])
+
+    def test_atomic_style(self, tmp_path):
+        fn = tmp_path / "s.data"
+        fn.write_text(
+            "2 atoms\n1 atom types\n"
+            "0.0 5.0 xlo xhi\n0.0 5.0 ylo yhi\n0.0 5.0 zlo zhi\n\n"
+            "Masses\n\n1 196.96657 # Au\n\n"
+            "Atoms # atomic\n\n"
+            "1 1 0.0 0.0 0.0\n2 1 2.9 0.0 0.0\n")
+        d = MIO.read_lammps_data(str(fn))
+        assert d["els"] == ["Au", "Au"]
+        np.testing.assert_allclose(d["axyz"][1][1:], [2.9, 0.0, 0.0])
+
+    def test_count_mismatch_raises(self, tmp_path):
+        fn = tmp_path / "bad.data"
+        fn.write_text(
+            "5 atoms\n1 atom types\n"
+            "0.0 5.0 xlo xhi\n0.0 5.0 ylo yhi\n0.0 5.0 zlo zhi\n\n"
+            "Masses\n\n1 12.0107\n\n"
+            "Atoms # atomic\n\n1 1 0.0 0.0 0.0\n")
+        with pytest.raises(ValueError, match="header says"):
+            MIO.read_lammps_data(str(fn))
