@@ -29,7 +29,7 @@ Physics conventions mirror the reference:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import os
 from functools import partial
-from typing import Any, Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ the reference profile (BASELINE.md) and the 146 s LAMMPS
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

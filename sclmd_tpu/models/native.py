@@ -29,7 +29,6 @@ import socket
 import struct
 import subprocess
 import time
-from typing import Optional, Sequence
 
 import numpy as np
 

@@ -20,8 +20,7 @@ deepmd-kit (tools.py:262-295 only preps data).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

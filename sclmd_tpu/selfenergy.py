@@ -14,7 +14,6 @@ transposes (not daggers), convergence is ||alpha||_F <= 1e-8 capped at
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

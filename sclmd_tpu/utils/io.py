@@ -12,7 +12,7 @@ netCDF4 exists, and run self-contained otherwise.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
