@@ -65,14 +65,22 @@ class TestProtocol:
             return 0.0, np.zeros_like(xa), np.zeros((3, 3))
 
         srv = MockFsiestaServer(bad, port=client.port)
-        # corrupt the server reply by wrapping send
+        # corrupt the server reply: consume the whole coords message
+        # (closing early would race the client's sends into EPIPE),
+        # answer garbage, and keep the socket open until the client
+        # has raised
         orig = srv._serve
 
         def serve_bad():
             import socket as s
+            import time as t
             conn = s.create_connection(("127.0.0.1", client.port))
-            conn.makefile("r").readline()
+            rf = conn.makefile("r")
+            while rf.readline().strip() != "end_coords":
+                pass
             conn.sendall(b"not_forces\n")
+            t.sleep(3)
+            conn.close()
         srv._serve = serve_bad
         srv.start()
         client.connect()
