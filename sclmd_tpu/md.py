@@ -240,9 +240,9 @@ def _next_pow2(n: int) -> int:
     return 1 << (int(n) - 1).bit_length()
 
 
-@partial(jax.jit, static_argnames=("nsteps", "t0", "block"))
+@partial(jax.jit, static_argnames=("nsteps", "t0", "block", "unroll"))
 def run_segment_blocked(system: GLESystem, state: MDState, nsteps: int,
-                        t0: int = 0, block: int = 64):
+                        t0: int = 0, block: int = 64, unroll: int = 1):
     """``run_segment`` with a blocked memory-kernel convolution.
 
     Identical trajectories (up to float summation order), much less HBM
@@ -396,7 +396,7 @@ def run_segment_blocked(system: GLESystem, state: MDState, nsteps: int,
             else None for i, b in enumerate(system.baths))
         (p, q, qprev, rings, nrows), ys = jax.lax.scan(
             inner, (p, q, qprev, rings, nrows), tuple(xs_inner),
-            length=block)
+            length=block, unroll=unroll)
         new_hists = tuple(
             jnp.concatenate([rings[i], bhists[i]], 0)[: b.ml - 1]
             if plans[i] is not None else None
