@@ -69,10 +69,16 @@ class bpt:
             dynmat = dat.reshape(n, n)
         elif hasattr(dynmat, "dynmat"):
             if self.els is None and hasattr(dynmat, "els"):
-                self.els = np.repeat(np.asarray(dynmat.els, dtype=float), 3) \
-                    if np.asarray(dynmat.els).ndim == 1 and \
-                    len(np.asarray(dynmat.els)) * 3 != len(dynmat.dynmat()) \
-                    else np.asarray(dynmat.els, dtype=float)
+                els = np.asarray(dynmat.els)
+                if els.dtype.kind in "US":   # element symbols -> masses
+                    els = np.array(
+                        [U.AtomicMassTable[e] for e in dynmat.els],
+                        dtype=float)
+                else:
+                    els = els.astype(float)
+                if 3 * len(els) == len(dynmat.dynmat()):
+                    els = np.repeat(els, 3)   # per-atom -> per-DOF
+                self.els = els
             if self.xyz is None and hasattr(dynmat, "xyz"):
                 self.xyz = np.asarray(dynmat.xyz, dtype=float)
             dynmat = np.asarray(dynmat.dynmat()) / U.RPC ** 2

@@ -108,3 +108,27 @@ class TestSWDriver:
         e1 = etot(fin)
         assert np.isfinite(np.asarray(fin.q)).all()
         assert abs(e1 - e0) < 2e-3 * abs(e0), (e0, e1)
+
+
+class TestSWNegf:
+    def test_bpt_from_driver_object(self):
+        """bpt accepts a driver directly (hasattr .dynmat branch): the
+        full workflow junction -> dynamical matrix -> transmission on an
+        SW-silicon slab."""
+        from sclmd_tpu.negf import bpt
+
+        pos, cell = diamond_cell(1, 1, 2)
+        axyz = [["Si"] + list(p) for p in pos]
+        drv = SWDriver(axyz, cell=cell)
+        n = 3 * len(axyz)
+        bathL = list(range(6))
+        bathR = list(range(n - 6, n))
+        b = bpt(drv, 0.09, 1.0, [bathL, bathR], num=12)
+        # element masses / positions flow through from the driver
+        assert b.els is not None and len(b.els) == n
+        tm = b.gettm()
+        assert tm.shape == (13, 2)
+        assert np.isfinite(tm).all() and (tm[:, 1] > -1e-10).all()
+        assert tm[:, 1].max() > 0.05     # phonons do transmit
+        g = b.thermalconductance(300.0, 0.1)
+        assert g > 0
