@@ -27,12 +27,20 @@ select_platform()
 
 quick = "--quick" in sys.argv
 
-# --- geometry: armchair graphene ribbon junction -------------------------
-x = graphene_ribbon(6 if quick else 10, 3)
-axyz = [["C", *row] for row in x]
+# --- geometry: armchair graphene ribbon junction, or any LAMMPS data
+# file (e.g. the reference's examples/structure.data) via --data PATH --
+if "--data" in sys.argv:
+    from sclmd_tpu.utils.io import read_lammps_data
+    datafile = sys.argv[sys.argv.index("--data") + 1]
+    loaded = read_lammps_data(datafile)
+    axyz = loaded["axyz"]
+    print(f"loaded {len(axyz)} atoms from {datafile}")
+else:
+    x = graphene_ribbon(6 if quick else 10, 3)
+    axyz = [["C", *row] for row in x]
 drv = TersoffDriver(axyz, dtype=jnp.float32)
 na = drv.number
-print(f"junction: {na} atoms, Tersoff carbon")
+print(f"junction: {na} atoms, Tersoff ({sorted(set(drv.els))})")
 
 # --- MD setup (reference runmd.py:17-58) ---------------------------------
 T = 300.0
