@@ -153,7 +153,7 @@ def config5(jax, jnp):
     from sclmd_tpu.models.harmonic import chain_dynmat
     from sclmd_tpu.ops.noise import sample_noise_parts
 
-    natoms, ml, nmd, ntraj, block = 500, 512, 1024, 1000, 128
+    natoms, ml, nmd, ntraj, block = 500, 512, 1024, 1000, 64
     nph = 3 * natoms
     dt, T, delta = 0.25 / 0.658, 300.0, 0.1
     nc = 150

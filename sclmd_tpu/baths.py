@@ -321,7 +321,6 @@ class PhBath:
     gamma: jax.Array                  # (ngw, nc, nc) Gamma(w) table
     gwl: jax.Array                    # (ngw,) energy grid of gamma
     kernel: Optional[jax.Array]       # (ml, nc, nc) K(t) time kernel
-    kernel_im: Optional[jax.Array]    # (nc, ml*nc) MXU-layout kernel
     noise: Optional[jax.Array]        # (nmd, nc)
     dt: float = struct.field(pytree_node=False)
     nmd: int = struct.field(pytree_node=False)
@@ -338,6 +337,13 @@ class PhBath:
     @property
     def nc(self) -> int:
         return self.cids.shape[0]
+
+    @property
+    def kernel_im(self):
+        """(nc, ml*nc) MXU-layout view of the kernel, derived on demand
+        (XLA folds the transpose/reshape into the consuming matmul —
+        storing it doubled the bath-matrix HBM footprint)."""
+        return _kernel_im(self.kernel)
 
     @property
     def wl(self):
@@ -361,10 +367,7 @@ class PhBath:
     def gmem(self) -> "PhBath":
         """Generate the time-domain memory kernel (baths.py:412-446)."""
         if self.local:
-            kern = self.gamma[: 1]
-            new = self.replace(kernel=kern,
-                               kernel_im=_kernel_im(kern))
-            return new
+            return self.replace(kernel=self.gamma[:1])
         tl = self.dt * jnp.arange(self.ml, dtype=self.gamma.dtype)
         kern = gamt(tl, jnp.asarray(self.wl, self.gamma.dtype),
                     self.gwl, self.gamma, self.eta_ad)
@@ -376,8 +379,7 @@ class PhBath:
             nc = kern.shape[-1]
             new_gamma = (self.dt * cosm @ kern.reshape(self.ml, nc * nc)
                          ).reshape(self.gwl.shape[0], nc, nc)
-        return self.replace(kernel=kern, kernel_im=_kernel_im(kern),
-                            gamma=new_gamma)
+        return self.replace(kernel=kern, gamma=new_gamma)
 
     def prepare_noise(self) -> "PhBath":
         """Factorise the noise PSD once, fully on the host in float64
@@ -587,9 +589,7 @@ def phbath(T, cats, debye, nw, dt, nmd, ml=None, mcof=2.0,
     return PhBath(
         cids=cids, T=_as_f(T, dtype), gamma=_as_f(gamma_np, dtype),
         gwl=_as_f(gwl_np, dtype),
-        kernel=kern, kernel_im=jnp.asarray(
-            np.transpose(kern_np, (1, 0, 2)).reshape(nc, int(ml) * nc),
-            dtype),
+        kernel=kern,
         noise=None,
         dt=float(dt), nmd=int(nmd), ml=int(ml), nw=int(nw),
         wmax=wmax, local=bool(local), eta_ad=float(eta_ad),

@@ -104,8 +104,13 @@ def shard_ensemble(mesh: Mesh, system: GLESystem, states: MDState,
         if tp is not None:
             if hasattr(b, "efric"):
                 b = b.replace(efric=put(b.efric, P(tp, None)))
-            if getattr(b, "kernel_im", None) is not None:
-                b = b.replace(kernel_im=put(b.kernel_im, P(tp, None)))
+            if getattr(b, "kernel", None) is not None and \
+                    not isinstance(getattr(type(b), "kernel", None),
+                                   property):
+                # row-shard the kernel's output-DOF axis (PhBath field;
+                # EBath exposes kernel only as a derived property); the
+                # MXU layout (kernel_im property) inherits the sharding
+                b = b.replace(kernel=put(b.kernel, P(None, tp, None)))
         new_baths.append(b)
     system = system.replace(baths=tuple(new_baths))
     if system.dyn is not None and tp is not None:
