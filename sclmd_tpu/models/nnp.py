@@ -31,12 +31,28 @@ import numpy as np
 # neighbor lists (static, padded)
 # ---------------------------------------------------------------------------
 def build_neighbors(xyz, cutoff: float, max_nnei: int,
-                    cell: Optional[np.ndarray] = None, skin: float = 0.5):
+                    cell: Optional[np.ndarray] = None, skin: float = 0.5,
+                    backend: str = "auto"):
     """Padded neighbor table (na, max_nnei) + mask from the reference
     geometry. Index -1 marks padding (mapped to self with zero weight).
+
+    ``backend``: "numpy" (O(na^2), always available), "native" (C++
+    cell lists from csrc/neighbors.cpp, O(na) at fixed density), or
+    "auto" — native for large systems when the toolchain builds it,
+    numpy otherwise. Both produce identical tables.
     """
     x = np.asarray(xyz).reshape(-1, 3)
     na = len(x)
+    if backend == "native" or (backend == "auto" and na > 2000):
+        try:
+            from sclmd_tpu.models.native import native_neighbors
+            nbr, mask, _ = native_neighbors(x, cutoff + skin, max_nnei,
+                                            cell=cell)
+            return nbr, mask
+        except Exception:
+            if backend == "native":
+                raise
+            # auto: fall back to the numpy builder
     d = x[None, :, :] - x[:, None, :]
     if cell is not None:
         d -= np.round(d / np.asarray(cell)) * np.asarray(cell)

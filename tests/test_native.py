@@ -148,3 +148,39 @@ class TestPipeDriver:
                                        rtol=1e-12)
         finally:
             pd.quit()
+
+
+class TestNativeNeighbors:
+    def test_matches_numpy_builder(self, rng):
+        from sclmd_tpu.models.native import native_neighbors
+        from sclmd_tpu.models.nnp import build_neighbors
+        x = rng.uniform(0, 12.0, size=(80, 3))
+        for cell in (None, np.array([12.0, 12.0, 12.0])):
+            nbr_py, mask_py = build_neighbors(x, 2.5, 12, cell=cell,
+                                              skin=0.0, backend="numpy")
+            nbr_c, mask_c, worst = native_neighbors(x, 2.5, 12,
+                                                    cell=cell)
+            np.testing.assert_array_equal(mask_c, mask_py)
+            np.testing.assert_array_equal(nbr_c, nbr_py)
+            assert worst <= 12
+
+    def test_small_periodic_cell(self, rng):
+        """Cells with < 3 bins per axis exercise the wrap/dedupe path."""
+        from sclmd_tpu.models.native import native_neighbors
+        from sclmd_tpu.models.nnp import build_neighbors
+        x = rng.uniform(0, 5.0, size=(20, 3))
+        cell = np.array([5.0, 5.0, 5.0])
+        nbr_py, mask_py = build_neighbors(x, 2.2, 16, cell=cell,
+                                          skin=0.0, backend="numpy")
+        nbr_c, mask_c, _ = native_neighbors(x, 2.2, 16, cell=cell)
+        np.testing.assert_array_equal(mask_c, mask_py)
+        np.testing.assert_array_equal(nbr_c, nbr_py)
+
+    def test_auto_backend_consistency(self, rng):
+        """backend='native' == backend='numpy' through build_neighbors."""
+        from sclmd_tpu.models.nnp import build_neighbors
+        x = rng.uniform(0, 20.0, size=(150, 3))
+        a = build_neighbors(x, 3.0, 10, backend="numpy")
+        b = build_neighbors(x, 3.0, 10, backend="native")
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
