@@ -247,17 +247,38 @@ def ebath(cats, T, dt, nmd, wmax=None, nw=None, bias=0.0,
     zeta1_np = _sym(zeta1) if zeta1 is not None else z
     zeta2_np = _asym(zeta2) if zeta2 is not None else z
 
+    bias_active = (exim is not None or zeta1 is not None
+                   or zeta2 is not None or exip is not None) \
+        and float(bias) != 0.0
     nevecs = nstd = None
     if factorize:
         hlen = int(nmd) // 2
         dw = 2.0 * np.pi / dt / nmd
         wlh = dw * np.arange(hlen + 1)
-        psd = NZ.electron_psd(wlh, efric_np, exim_np, exip_np,
-                              float(bias), float(T), wmax,
-                              classical, zpmotion,
-                              delta=float(dt) * int(nmd), xp=np)
-        evec, std = NZ.noise_factors(psd, dtype=dtype)
-        nevecs, nstd = evec, std   # host numpy leaves by design
+        if not bias_active and nc >= 8:
+            # unbiased bath: S(w) = a(w) efric exactly — factorise from
+            # ONE nc x nc eigh without materialising the (hlen+1, nc,
+            # nc) complex batch (3 GB at nc~900); same statistics
+            from sclmd_tpu.ops.functions import equ_spectrum
+            aw = float(dt) * int(nmd) * np.asarray(equ_spectrum(
+                wlh, wmax, float(T), classical, zpmotion, xp=np))
+            lam0, evec0 = np.linalg.eigh(efric_np)
+            std = np.sqrt(np.clip(aw, 0.0, None)[:, None]
+                          * np.clip(lam0, 0.0, None)[None, :])
+            cplx = np.complex128 if dtype in (jnp.float64, np.float64) \
+                else np.complex64
+            nevecs = np.ascontiguousarray(np.broadcast_to(
+                evec0.astype(cplx), (hlen + 1, nc, nc)))
+            nstd = std.astype(np.float64 if dtype in (jnp.float64,
+                                                      np.float64)
+                              else np.float32)
+        else:
+            psd = NZ.electron_psd(wlh, efric_np, exim_np, exip_np,
+                                  float(bias), float(T), wmax,
+                                  classical, zpmotion,
+                                  delta=float(dt) * int(nmd), xp=np)
+            evec, std = NZ.noise_factors(psd, dtype=dtype)
+            nevecs, nstd = evec, std   # host numpy leaves by design
 
     return EBath(
         cids=cids,

@@ -111,8 +111,43 @@ def noise_factors(psd, dtype=None):
     some backends, and inaccurate in complex64) without changing the
     sampled statistics: std = sqrt(clip(eigenvalues, 0)) exactly as
     ``vargau`` (noise.py:297-303).
+
+    Fast path: when the batch is frequency-PROPORTIONAL, S(w) =
+    c(w) S_ref (every wideband/Debye/scalar-profile bath: the
+    equilibrium weight multiplies one constant matrix), the
+    eigenvectors are frequency-independent — ONE nc x nc eigh replaces
+    nmd/2 of them (the 864-DOF large-junction setup drops from minutes
+    to milliseconds). The structure is verified numerically before use
+    and only engaged for nc >= 8 (small baths keep the bit-exact
+    historical factors).
     """
     psd_np = np.asarray(psd).astype(np.complex128)
+    nw, nc = psd_np.shape[0], psd_np.shape[-1]
+    if nc >= 8 and nw > 4:
+        norms = np.linalg.norm(psd_np.reshape(nw, -1), axis=1)
+        r = int(np.argmax(norms))
+        if norms[r] > 0:
+            ref = psd_np[r]
+            ref2 = float(np.vdot(ref, ref).real)
+            c = np.real(np.einsum("wij,ij->w", psd_np, np.conjugate(ref))
+                        ) / ref2
+            resid = psd_np - c[:, None, None] * ref[None]
+            tol = 1e-12 * norms[r]
+            if (np.abs(resid).reshape(nw, -1).max(axis=1)
+                    <= np.maximum(tol, 1e-13 * norms[r])).all() \
+                    and (c >= -1e-15).all():
+                ev0, evec0 = np.linalg.eigh(ref)
+                ev = np.clip(c, 0.0, None)[:, None] * \
+                    np.clip(ev0, 0.0, None)[None, :]
+                std = np.sqrt(ev)
+                evec = np.broadcast_to(evec0, psd_np.shape)
+                if dtype is not None:
+                    cplx = np.complex128 if dtype in (jnp.float64,
+                                                      np.float64) \
+                        else np.complex64
+                    return np.ascontiguousarray(evec.astype(cplx)), \
+                        std.astype(dtype)
+                return np.ascontiguousarray(evec), std
     ev, evec = np.linalg.eigh(psd_np)
     std = np.sqrt(np.clip(ev, 0.0, None))
     if dtype is not None:

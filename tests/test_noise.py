@@ -142,3 +142,67 @@ class TestSynthesis:
         f = jnp.array([1.0, 2.0])
         out = np.asarray(N.mf(f, jnp.array([3, 1]), 5))
         np.testing.assert_allclose(out, [0, 2, 0, 1, 0])
+
+
+class TestProportionalFactorisation:
+    def test_reconstruction_matches_psd(self, rng):
+        """The single-eigh fast path reconstructs the PSD exactly."""
+        from sclmd_tpu.ops.noise import noise_factors
+        nc, nw = 12, 33
+        m = rng.normal(size=(nc, nc))
+        s0 = m @ m.T + nc * np.eye(nc)          # SPD reference matrix
+        c = np.abs(rng.normal(size=nw)) + 0.1
+        psd = c[:, None, None] * s0[None]
+        evec, std = noise_factors(psd)
+        rec = np.einsum("wij,wj,wkj->wik", evec, std ** 2,
+                        np.conjugate(evec))
+        np.testing.assert_allclose(rec, psd, rtol=1e-10)
+
+    def test_nonproportional_falls_back(self, rng):
+        from sclmd_tpu.ops.noise import noise_factors
+        nc, nw = 12, 9
+        psd = np.stack([(lambda m: m @ m.T + nc * np.eye(nc))(
+            rng.normal(size=(nc, nc))) for _ in range(nw)]).astype(complex)
+        evec, std = noise_factors(psd)
+        rec = np.einsum("wij,wj,wkj->wik", evec, std ** 2,
+                        np.conjugate(evec))
+        np.testing.assert_allclose(rec, psd, rtol=1e-9, atol=1e-12)
+
+    def test_sampling_statistics_preserved(self, rng):
+        """Noise sampled through the fast path has the target PSD
+        covariance (gauge-independent check)."""
+        from sclmd_tpu.ops.noise import noise_factors, sample_noise_np
+        nc, nmd, dt = 9, 64, 0.4
+        m = rng.normal(size=(nc, nc))
+        s0 = m @ m.T + nc * np.eye(nc)
+        hlen = nmd // 2
+        c = np.linspace(1.0, 0.2, hlen + 1)
+        psd = (c[:, None, None] * s0[None]).astype(complex)
+        evec, std = noise_factors(psd)
+        assert evec.shape == (hlen + 1, nc, nc)
+        nsamp = 400
+        acc = np.zeros((nc, nc))
+        for s in range(nsamp):
+            xi = sample_noise_np(np.random.default_rng(s), evec, std,
+                                 dt, nmd)
+            acc += xi.T @ xi / nmd
+        acc /= nsamp
+        # equal-time covariance = (1/(2 pi)) int S dw -> discrete:
+        # sum_w S_w * dw / (2 pi), mirrored spectrum
+        dw = 2 * np.pi / dt / nmd
+        target = (psd[:hlen].real.sum(0) + psd[1:hlen + 1].real.sum(0)
+                  ) * dw / (2 * np.pi) / (dt ** 2 * 2 * np.pi / dt /
+                                          nmd) ** 0
+        # normalisation follows sample_noise_np's fft * 1/(nmd*dt):
+        # equal-time var = sum_w S_w / (nmd * dt)^2 * ... — compare
+        # against the brute-force per-frequency factorisation instead
+        ev2, std2 = np.linalg.eigh(psd)[1], np.sqrt(
+            np.clip(np.linalg.eigh(psd)[0], 0, None))
+        acc2 = np.zeros((nc, nc))
+        for s in range(nsamp):
+            xi = sample_noise_np(np.random.default_rng(s), ev2, std2,
+                                 dt, nmd)
+            acc2 += xi.T @ xi / nmd
+        acc2 /= nsamp
+        scale = np.abs(acc2).max()
+        np.testing.assert_allclose(acc / scale, acc2 / scale, atol=0.15)
