@@ -90,20 +90,35 @@ def primary(jax, jnp):
     single_sps = nmd / t_med
     single_best = nmd / t_best
 
-    # ---- same, including per-run host noise regeneration (the
-    # reference workflow regenerates noise every run; r1's bench
-    # timed THIS, which is why its number undershot the scan-only
-    # claim — both are now reported) ----
+    # ---- same, including per-run noise regeneration (the reference
+    # workflow regenerates noise every run; r1's bench timed the HOST
+    # regeneration, which is why its number undershot the scan-only
+    # claim). The production md.Run path now samples on device from the
+    # host-precomputed PSD factors (baths.gnoi -> sample_noise_dev) —
+    # both that number and the legacy host-numpy regen are reported. ----
     seed = [0]
 
-    def regen():
+    def regen_dev():
+        seed[0] += 1
+        k = jax.random.PRNGKey(seed[0])
+        bl2 = pbl.gnoi(jax.random.fold_in(k, 0)).replace(
+            nevecs=None, nstd=None)
+        br2 = pbr.gnoi(jax.random.fold_in(k, 1)).replace(
+            nevecs=None, nstd=None)
+        return f1(dyn, mask, bl2, br2)
+
+    _sync(regen_dev())                                  # compile sampler
+    t_med, _ = _timed(regen_dev, reps=3)
+    regen_sps = nmd / t_med
+
+    def regen_host():
         seed[0] += 1
         bl2 = pbl.gnoi_np(10 + seed[0]).replace(nevecs=None, nstd=None)
         br2 = pbr.gnoi_np(20 + seed[0]).replace(nevecs=None, nstd=None)
         return f1(dyn, mask, bl2, br2)
 
-    t_med, _ = _timed(regen, reps=3)
-    regen_sps = nmd / t_med
+    t_med, _ = _timed(regen_host, reps=3)
+    regen_host_sps = nmd / t_med
 
     # ---- ensembles (blocked, block=256 — measured best on this chip) ----
     from sclmd_tpu.md import run_segment_blocked as rsb
@@ -139,7 +154,7 @@ def primary(jax, jnp):
         ens[ntraj] = round(ntraj * nmd / t_med, 1)
     return {
         "single_sps": single_sps, "single_best_sps": single_best,
-        "regen_sps": regen_sps,
+        "regen_sps": regen_sps, "regen_host_sps": regen_host_sps,
         "ens": ens, "J_left": float(jl), "J_right": float(jr),
         "finite": bool(finite),
     }
@@ -151,7 +166,6 @@ def config5(jax, jnp):
     from sclmd_tpu import baths as B
     from sclmd_tpu.md import GLESystem, initial_state, run_segment_blocked
     from sclmd_tpu.models.harmonic import chain_dynmat
-    from sclmd_tpu.ops.noise import sample_noise_parts
 
     natoms, ml, nmd, ntraj, block = 500, 512, 1024, 1000, 64
     nph = 3 * natoms
@@ -171,19 +185,12 @@ def config5(jax, jnp):
     pbl = mkbath(range(nc), T * (1 + delta / 2))
     pbr = mkbath(range(nph - nc, nph), T * (1 - delta / 2))
 
-    # device-side batched noise synthesis (complex factors split into
-    # real/imag parts — complex jit args do not transit this tunnel)
+    # device-side batched noise synthesis (gnoi routes through the
+    # tunnel-safe sample_noise_dev: real/imag factor split, and the
+    # single-matrix fast path for frequency-proportional spectra)
     def draw(bath, seed):
-        re = np.ascontiguousarray(bath.nevecs.real, np.float32)
-        im = np.ascontiguousarray(bath.nevecs.imag, np.float32)
-        std = np.asarray(bath.nstd, np.float32)
         keys = jax.random.split(jax.random.PRNGKey(seed), ntraj)
-
-        @jax.jit
-        def f(keys, re, im, std):
-            return jax.vmap(lambda k: sample_noise_parts(
-                k, re, im, std, dt, nmd))(keys)
-        return _sync(f(keys, re, im, std))
+        return _sync(jax.vmap(lambda k: bath.gnoi(k).noise)(keys))
 
     nzL = draw(pbl, 1)
     nzR = draw(pbr, 2)
@@ -228,6 +235,7 @@ def main():
         "vs_baseline": round(p["single_sps"] / BASELINE_STEPS_PER_SEC, 1),
         "single_best_steps_per_sec": round(p["single_best_sps"], 1),
         "with_noise_regen_steps_per_sec": round(p["regen_sps"], 1),
+        "with_host_noise_regen_steps_per_sec": round(p["regen_host_sps"], 1),
         "timing": "median over repeated runs (shared chip, +-40% "
                   "single-shot variance)",
         "ensemble_traj_steps_per_sec": best_ens,

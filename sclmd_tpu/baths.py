@@ -143,8 +143,7 @@ class EBath:
         device, vmappable over keys); otherwise the all-jnp path.
         """
         if self.nstd is not None:
-            xi = NZ.sample_noise(key, self.nevecs, self.nstd,
-                                 self.dt, self.nmd)
+            xi = NZ.sample_noise_dev(self, key)
         else:
             xi = NZ.enoise(key, self.efric, self.exim, self.exip,
                            self.bias, self.T, self.wmax, self.dt, self.nmd,
@@ -428,8 +427,7 @@ class PhBath:
     def gnoi(self, key: jax.Array) -> "PhBath":
         """Attach phonon colored noise (baths.py:397-410)."""
         if self.nstd is not None:
-            xi = NZ.sample_noise(key, self.nevecs, self.nstd,
-                                 self.dt, self.nmd)
+            xi = NZ.sample_noise_dev(self, key)
         else:
             xi = NZ.phnoise(key, self.gamma, self.gwl, self.T, self.wmax,
                             self.dt, self.nmd, self.classical,

@@ -140,14 +140,18 @@ def noise_factors(psd, dtype=None):
                 ev = np.clip(c, 0.0, None)[:, None] * \
                     np.clip(ev0, 0.0, None)[None, :]
                 std = np.sqrt(ev)
-                evec = np.broadcast_to(evec0, psd_np.shape)
                 if dtype is not None:
                     cplx = np.complex128 if dtype in (jnp.float64,
                                                       np.float64) \
                         else np.complex64
-                    return np.ascontiguousarray(evec.astype(cplx)), \
-                        std.astype(dtype)
-                return np.ascontiguousarray(evec), std
+                    evec0 = evec0.astype(cplx)
+                    std = std.astype(dtype)
+                # zero-stride broadcast view: one (nc, nc) matrix in
+                # memory regardless of nw. Consumers that need the
+                # frequency axis (host einsum) handle the view; device
+                # sampling detects it (sample_noise_dev) and ships only
+                # the single matrix.
+                return np.broadcast_to(evec0, psd_np.shape), std
     ev, evec = np.linalg.eigh(psd_np)
     std = np.sqrt(np.clip(ev, 0.0, None))
     if dtype is not None:
@@ -195,6 +199,55 @@ def sample_noise_parts(key: jax.Array, evecs_re, evecs_im, std,
     xi_pos = jnp.einsum("...ij,...j->...i", evecs, r.astype(evecs.dtype))
     xi = mirror_halfspectrum(xi_pos, nmd)
     return jnp.real(fourier_w2t(xi, dt, axis=0))
+
+
+@_partial(jax.jit, static_argnames=("dt", "nmd"))
+def sample_noise_prop(key: jax.Array, evec_re, evec_im, std,
+                      dt: float, nmd: int) -> jax.Array:
+    """``sample_noise`` for frequency-PROPORTIONAL PSD batches.
+
+    When S(w) = c(w) S_ref (every wideband/Debye/scalar-profile bath —
+    see ``noise_factors``), the eigenvector matrix is frequency-
+    independent: ONE (nc, nc) real/imag pair replaces the (nw, nc, nc)
+    batch. The host keeps the factors as a zero-stride broadcast view;
+    shipping that view through a device boundary would materialise
+    nw copies (gigabytes for large baths), so this entry point takes
+    the single matrix instead. Statistics are identical to
+    ``sample_noise`` — only the per-frequency matmul collapses into one
+    (nw, nc) @ (nc, nc) product.
+    """
+    _check_even(nmd)
+    evec_re = jnp.asarray(evec_re)
+    cplx = jnp.result_type(evec_re.dtype, jnp.complex64)
+    evec = evec_re.astype(cplx) + 1j * jnp.asarray(evec_im).astype(cplx)
+    std = jnp.asarray(std)
+    r = jax.random.normal(key, std.shape, dtype=std.dtype) * std
+    xi_pos = r.astype(cplx) @ evec.T
+    xi = mirror_halfspectrum(xi_pos, nmd)
+    return jnp.real(fourier_w2t(xi, dt, axis=0))
+
+
+def sample_noise_dev(bath, key: jax.Array) -> jax.Array:
+    """Device-side noise sampling from a bath's host-precomputed factors.
+
+    Tunnel-safe dispatcher: complex jit arguments do not transit some
+    TPU tunnels, so the complex eigenvector factor is split into
+    real/imag float arrays and reassembled in-graph
+    (``sample_noise_parts``); frequency-proportional factor batches
+    (zero-stride broadcast views from ``noise_factors``) route through
+    ``sample_noise_prop`` with a single (nc, nc) matrix instead of
+    materialising the broadcast. Returns the real (nmd, nc) series.
+    """
+    ev = np.asarray(bath.nevecs)
+    std = np.asarray(bath.nstd)
+    if ev.ndim == 3 and ev.strides[0] == 0:
+        ev0 = np.ascontiguousarray(ev[0])
+        return sample_noise_prop(key, np.ascontiguousarray(ev0.real),
+                                 np.ascontiguousarray(ev0.imag), std,
+                                 bath.dt, bath.nmd)
+    return sample_noise_parts(key, np.ascontiguousarray(ev.real),
+                              np.ascontiguousarray(ev.imag), std,
+                              bath.dt, bath.nmd)
 
 
 def sample_noise_np(rng: np.random.Generator, evecs, std, dt: float,

@@ -168,6 +168,44 @@ class TestProportionalFactorisation:
                         np.conjugate(evec))
         np.testing.assert_allclose(rec, psd, rtol=1e-9, atol=1e-12)
 
+    def test_sample_noise_dev_prop_path(self, rng, key):
+        """sample_noise_dev routes broadcast factor batches through the
+        single-matrix prop sampler and matches sample_noise bit-close."""
+        from sclmd_tpu import baths as B
+        nc, nmd, dt = 8, 64, 0.4
+        gwl = np.linspace(0.0, 0.6, 8)
+        gam = np.array([np.eye(nc) * 0.02 * np.exp(-(w / 0.3) ** 2)
+                        for w in gwl])
+        b = B.phbath(300.0, range(nc), 0.3, 16, dt, nmd, ml=4,
+                     gamma=gam, gwl=gwl, dtype=jnp.float64)
+        ev = np.asarray(b.nevecs)
+        assert ev.strides[0] == 0, "wideband factors should broadcast"
+        got = np.asarray(N.sample_noise_dev(b, key))
+        want = np.asarray(N.sample_noise(
+            key, np.ascontiguousarray(ev), np.asarray(b.nstd), dt, nmd))
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+        # and gnoi uses it
+        np.testing.assert_allclose(np.asarray(b.gnoi(key).noise), got)
+
+    def test_sample_noise_dev_general_path(self, rng, key):
+        """Non-proportional factors route through the parts sampler."""
+        nc, nmd, dt = 5, 32, 0.3
+        hlen = nmd // 2
+        psd = np.stack([(lambda m: m @ m.conj().T + nc * np.eye(nc))(
+            rng.normal(size=(nc, nc)) + 1j * rng.normal(size=(nc, nc)))
+            for _ in range(hlen + 1)])
+        evec, std = N.noise_factors(psd)
+        assert evec.strides[0] != 0
+
+        class Dummy:
+            nevecs, nstd = evec, std
+            dt_, nmd_ = dt, nmd
+        d = Dummy()
+        d.dt, d.nmd = dt, nmd
+        got = np.asarray(N.sample_noise_dev(d, key))
+        want = np.asarray(N.sample_noise(key, evec, std, dt, nmd))
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
     def test_sampling_statistics_preserved(self, rng):
         """Noise sampled through the fast path has the target PSD
         covariance (gauge-independent check)."""
