@@ -332,6 +332,19 @@ def gamt(tl, wl, gwl, gam, eta_ad: float = 0.0, xp=jnp) -> jax.Array:
     return xp.real(kt).reshape(tl.shape[0], nc, nc)
 
 
+def ggamma(sig, gwl) -> np.ndarray:
+    """Friction table Gamma(w) = -Im Sigma(w)/w from a lead self-energy
+    table (baths.py:375-395); the w=0 row is taken from the next grid
+    point, as the reference does. Host numpy (setup path)."""
+    sig = np.asarray(sig)
+    gwl = np.asarray(gwl, np.float64)
+    wsafe = np.where(gwl == 0.0, 1.0, gwl)
+    g = -np.imag(sig) / wsafe[:, None, None]
+    g_next = np.roll(-np.imag(sig), -1, axis=0) / \
+        np.roll(wsafe, -1)[:, None, None]
+    return np.where((gwl == 0.0)[:, None, None], g_next, g)
+
+
 @struct.dataclass
 class PhBath:
     """Phonon bath: Debye (local) or memory-kernel (non-Markovian)."""
@@ -353,10 +366,29 @@ class PhBath:
     zpmotion: bool = struct.field(pytree_node=False, default=True)
     nevecs: Optional[jax.Array] = None
     nstd: Optional[jax.Array] = None
+    # which input built the bath: "K" (lead blocks), "Pi" (self-energy
+    # table), "G" (Gamma table), "debye" — drives the reference's
+    # UseK/UsePi/UseG predicates (baths.py:356-373)
+    mode: str = struct.field(pytree_node=False, default="G")
 
     @property
     def nc(self) -> int:
         return self.cids.shape[0]
+
+    # --- reference mode predicates (baths.py:356-373). The reference
+    # keeps raw sig/K00 attributes and tests their presence; here the
+    # builder consumes those inputs (deriving gamma), so the predicates
+    # report the recorded build mode. A "K" bath also passed through
+    # the Sigma->Gamma derivation, and every built bath carries a
+    # Gamma table, matching the reference's post-__init__ state.
+    def UseG(self) -> bool:
+        return self.gamma is not None and self.gwl is not None
+
+    def UsePi(self) -> bool:
+        return self.mode in ("Pi", "K")
+
+    def UseK(self) -> bool:
+        return self.mode == "K"
 
     @property
     def kernel_im(self):
@@ -548,25 +580,22 @@ def phbath(T, cats, debye, nw, dt, nmd, ml=None, mcof=2.0,
             np.asarray(K00, np.float64), np.asarray(K01, np.float64),
             np.asarray(V01, np.float64), gwl)
 
+    mode = "K" if (K00 is not None and K01 is not None
+                   and V01 is not None) else None
     # all setup on the host in numpy (see ebath)
     if sig is not None and gwl is not None:
         sig = np.asarray(sig)
         if sig.shape[-1] != nc:
             raise ValueError("phbath: inconsistent cids and sig")
         gwl_np = np.asarray(gwl, np.float64)
-        # Gamma(w) = -Im Sigma(w) / w, with w=0 rows taken from the next
-        # grid point (ggamma, baths.py:385-392)
-        wsafe = np.where(gwl_np == 0.0, 1.0, gwl_np)
-        g = -np.imag(sig) / wsafe[:, None, None]
-        zero_rows = gwl_np == 0.0
-        g_next = np.roll(-np.imag(sig), -1, axis=0) / \
-            np.roll(wsafe, -1)[:, None, None]
-        gamma_np = np.where(zero_rows[:, None, None], g_next, g)
+        gamma_np = ggamma(sig, gwl_np)
+        mode = mode or "Pi"
     elif gamma is not None and gwl is not None:
         gamma_np = np.asarray(gamma, np.float64)
         if gamma_np.shape[-1] != nc:
             raise ValueError("phbath: inconsistent cids and gamma")
         gwl_np = np.asarray(gwl, np.float64)
+        mode = "G"
     else:
         # Debye model (Adelman & Doll JCP 64, 2375 (1976)): gamma = w_D pi/6
         phfric = debye * np.pi / 6.0
@@ -574,6 +603,7 @@ def phbath(T, cats, debye, nw, dt, nmd, ml=None, mcof=2.0,
         gwl_np = np.zeros((1,))
         local = True
         ml = 1
+        mode = "debye"
 
     if ml is None:
         raise ValueError("phbath: memory length ml must be set for "
@@ -613,7 +643,7 @@ def phbath(T, cats, debye, nw, dt, nmd, ml=None, mcof=2.0,
         dt=float(dt), nmd=int(nmd), ml=int(ml), nw=int(nw),
         wmax=wmax, local=bool(local), eta_ad=float(eta_ad),
         classical=bool(classical), zpmotion=bool(zpmotion),
-        nevecs=nevecs, nstd=nstd,
+        nevecs=nevecs, nstd=nstd, mode=mode,
     )
 
 

@@ -43,6 +43,17 @@ def build_neighbors(xyz, cutoff: float, max_nnei: int,
     """
     x = np.asarray(xyz).reshape(-1, 3)
     na = len(x)
+    if max_nnei is None:
+        # auto-size: build with a generous cap, then shrink the table to
+        # the observed occupancy (rounded up to a multiple of 4). The
+        # three-body cost of the many-body potentials scales as nn^2, so
+        # a tight table is a large win (diamond Si: 4 real neighbors vs
+        # a 16-wide default).
+        nbr, mask = build_neighbors(x, cutoff, 64, cell=cell, skin=skin,
+                                    backend=backend)
+        occ = int(mask.sum(1).max()) if mask.any() else 1
+        nn = max(4, -(-occ // 4) * 4)
+        return nbr[:, :nn], mask[:, :nn]
     if backend == "native" or (backend == "auto" and na > 2000):
         try:
             from sclmd_tpu.models.native import native_neighbors

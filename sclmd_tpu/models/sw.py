@@ -36,6 +36,28 @@ SW_PARAMS = {
 }
 
 
+def _powi(x, e):
+    """x**e, unrolled to multiplies when e is a small integer.
+
+    Float ``**`` lowers to exp/log on the VPU; the published SW sets use
+    p=4, q=0, so the two-body term needs no transcendentals at all.
+    """
+    ei = int(e)
+    if float(ei) != float(e) or not (0 <= ei <= 16):
+        return x ** e
+    if ei == 0:
+        return jnp.ones_like(x)
+    acc = None
+    base = x
+    while ei:
+        if ei & 1:
+            acc = base if acc is None else acc * base
+        ei >>= 1
+        if ei:
+            base = base * base
+    return acc
+
+
 def sw_energy(element: str, neighbors, nmask,
               cell: Optional[np.ndarray] = None,
               params: Optional[dict] = None):
@@ -67,8 +89,8 @@ def sw_energy(element: str, neighbors, nmask,
 
         # two-body (counted once per pair via the 1/2)
         sr = sig / r
-        phi2 = p["A"] * eps * (p["B"] * sr ** p["p"] - sr ** p["q"]) \
-            * _tail(r, 1.0)
+        phi2 = p["A"] * eps * (p["B"] * _powi(sr, p["p"])
+                               - _powi(sr, p["q"])) * _tail(r, 1.0)
         e2 = 0.5 * jnp.sum(jnp.where(mask, phi2, 0.0))
 
         # three-body: center i, legs j and k (each unordered pair once

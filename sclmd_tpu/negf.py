@@ -453,17 +453,105 @@ class bpt:
     #   J_L = int dw/2pi hbar w Tr[Sig<_L G> - Sig>_L G<]
     # reduces analytically (and in tests numerically) to the Landauer
     # integral for elastic transport.
-    def lessselfenergy(self, omega, Tl, sel):
-        """Sig< = +i Gamma n_B on the selected DOFs (diagonal)."""
+    def _less_diag(self, omega, Tl, sel):
+        """Sig< = +i Gamma n_B on the selected POST-DELETION DOFs, as a
+        diagonal vector (hot-path form used by leadthermalcurrent)."""
         gam = jnp.zeros((self.nd,), jnp.complex128).at[sel].set(
             2.0 * omega / self.damp)
         return 1j * gam * self.bosedist(omega, Tl)
 
-    def greatselfenergy(self, omega, Tl, sel):
-        """Sig> = -i Gamma (n_B + 1) on the selected DOFs (diagonal)."""
+    def _great_diag(self, omega, Tl, sel):
+        """Sig> = -i Gamma (n_B + 1) on the selected POST-DELETION DOFs,
+        as a diagonal vector."""
         gam = jnp.zeros((self.nd,), jnp.complex128).at[sel].set(
             2.0 * omega / self.damp)
         return -1j * gam * (self.bosedist(omega, Tl) + 1.0)
+
+    # -- reference-named lesser/greater surface (the reference carries
+    # these only as a commented-out draft, negf.py:314-379; the draft
+    # slices G^r but not Sigma, which cannot contract — here the
+    # product is formed in the full post-deletion space and THEN
+    # restricted to the requested block). ``dofatoms`` are ORIGINAL
+    # (pre-deletion) DOF ids, like the retar*selfenergy family.
+    def lessselfenergy(self, omega, T, dofatoms):
+        """Sig^< = 2i Im Sigma^r n_B (draft negf.py:339-340)."""
+        return 2j * np.imag(self.retarselfenergy(omega, dofatoms)) \
+            * float(self.bosedist(omega, T))
+
+    def greatselfenergy(self, omega, T, dofatoms):
+        """Sig^> = 2i Im Sigma^r (n_B + 1) (draft negf.py:336-337)."""
+        return 2j * np.imag(self.retarselfenergy(omega, dofatoms)) \
+            * (float(self.bosedist(omega, T)) + 1.0)
+
+    def lessbiasselfenergy(self, omega, T, dofatoms):
+        """Bias Sig^< = 2i Im Sigma^r_bias n_B (draft negf.py:345-346);
+        0 when unbiased."""
+        b = self.retarbiasselfenergy(omega, dofatoms)
+        return 0 if np.isscalar(b) else \
+            2j * np.imag(b) * float(self.bosedist(omega, T))
+
+    def greatbiasselfenergy(self, omega, T, dofatoms):
+        """Bias Sig^> = 2i Im Sigma^r_bias (n_B + 1) (draft
+        negf.py:342-343); 0 when unbiased."""
+        b = self.retarbiasselfenergy(omega, dofatoms)
+        return 0 if np.isscalar(b) else \
+            2j * np.imag(b) * (float(self.bosedist(omega, T)) + 1.0)
+
+    def _gf_sandwich(self, omega, sig, dofatoms):
+        """(G^r sig G^a) restricted to the dofatoms block."""
+        if np.isscalar(sig):
+            n = len(list(dofatoms))
+            return np.zeros((n, n), complex)
+        g = np.asarray(self.retargf(omega))
+        ga = np.asarray(self.advangf(omega))
+        sub = np.asarray(self._bathsel(dofatoms))
+        return (g @ np.asarray(sig) @ ga)[np.ix_(sub, sub)]
+
+    def greatgf(self, omega, T, dofatoms):
+        """Greater GF block: (G^r Sig^> G^a)[dofatoms] (draft
+        negf.py:316-320)."""
+        return self._gf_sandwich(
+            omega, self.greatselfenergy(omega, T, dofatoms), dofatoms)
+
+    def lessgf(self, omega, T, dofatoms):
+        """Lesser GF block (draft negf.py:321-325)."""
+        return self._gf_sandwich(
+            omega, self.lessselfenergy(omega, T, dofatoms), dofatoms)
+
+    def greatbiasgf(self, omega, T, dofatoms):
+        """Greater GF block from the bias self-energy alone (draft
+        negf.py:326-330)."""
+        return self._gf_sandwich(
+            omega, self.greatbiasselfenergy(omega, T, dofatoms), dofatoms)
+
+    def lessbiasgf(self, omega, T, dofatoms):
+        """Lesser GF block from the bias self-energy alone (draft
+        negf.py:331-335)."""
+        return self._gf_sandwich(
+            omega, self.lessbiasselfenergy(omega, T, dofatoms), dofatoms)
+
+    def biasthermalcurrent(self, T, dofatoms, num=None):
+        """Heat current pumped into the bias region (nW), mirroring the
+        draft's integrand Tr[G^>_bias Sig^<_bias - G^< Sig^>_bias]
+        (negf.py:364-379). Zero when no bias self-energy is attached.
+        """
+        if not self.isbias:
+            return 0.0
+        num = num or self.intnum
+        ws = np.linspace(0, self.maxomega, num + 1)[1:]
+        sub = np.asarray(self._bathsel(dofatoms))
+
+        def f(w):
+            gg = self.greatbiasgf(w, T, dofatoms)
+            sl = self.lessbiasselfenergy(w, T, dofatoms)
+            gl = self.lessgf(w, T, dofatoms)
+            sg = self.greatbiasselfenergy(w, T, dofatoms)
+            val = np.trace(gg @ np.asarray(sl)[np.ix_(sub, sub)]
+                           - gl @ np.asarray(sg)[np.ix_(sub, sub)])
+            return self.rpc * w / (2 * np.pi) * np.real(val)
+
+        integrand = np.array([f(w) for w in ws])
+        return float(np.trapezoid(integrand, ws)) * 1.60217662e2
 
     def leadthermalcurrent(self, TL, TR, lead="L", num=None):
         """Heat current out of one lead via G lesser/greater (nW).
@@ -483,14 +571,14 @@ class bpt:
             a = self._amatrix(w[None])[0]
             g = jnp.linalg.inv(a)
             gd = jnp.conjugate(g.T)
-            sl_less = self.lessselfenergy(w, TL, selL) + \
-                self.lessselfenergy(w, TR, selR)
-            sl_great = self.greatselfenergy(w, TL, selL) + \
-                self.greatselfenergy(w, TR, selR)
+            sl_less = self._less_diag(w, TL, selL) + \
+                self._less_diag(w, TR, selR)
+            sl_great = self._great_diag(w, TL, selL) + \
+                self._great_diag(w, TR, selR)
             g_less = g * sl_less[None, :] @ gd
             g_great = g * sl_great[None, :] @ gd
-            s_less = self.lessselfenergy(w, T_lead, sel_lead)
-            s_great = self.greatselfenergy(w, T_lead, sel_lead)
+            s_less = self._less_diag(w, T_lead, sel_lead)
+            s_great = self._great_diag(w, T_lead, sel_lead)
             # Tr[diag(s<) G> - diag(s>) G<]
             val = jnp.sum(s_less * jnp.diagonal(g_great)) - \
                 jnp.sum(s_great * jnp.diagonal(g_less))

@@ -60,6 +60,30 @@ def _write_vars(filename, arrays: dict, units: Optional[dict] = None):
     np.savez(filename, **{k: np.asarray(v) for k, v in arrays.items()})
 
 
+def Write2NetCDFFile(file, var, varLabel, dimensions, units=None,
+                     description=None):
+    """Write one variable into an OPEN netCDF4 Dataset (md.py:749-757).
+
+    Reference-named helper; requires netCDF4 (gated in this image —
+    the npz backend of ``_write_vars`` is the default persistence path).
+    """
+    if not HAVE_NETCDF:
+        raise RuntimeError("netCDF4 is not available in this image; use "
+                           "the npz backend (_write_vars)")
+    tmp = file.createVariable(varLabel, "d", dimensions, zlib=True)
+    tmp[:] = var
+    if units:
+        tmp.units = units
+    if description:
+        tmp.description = description
+
+
+def ReadNetCDFVar(file, var):
+    """Read one variable from a NetCDF (or npz fallback) file by name
+    (md.py:759-764)."""
+    return _open_vars(file)[var]
+
+
 # ---------------------------------------------------------------------------
 # EPH files: dynamical matrix + self-energies + friction matrices
 # ---------------------------------------------------------------------------

@@ -29,6 +29,8 @@ def main():
     nsteps = int(args.get("steps", 256))
     block = int(args.get("block", 64))
     reps = int(args.get("reps", 3))
+    nn = None if args.get("nn") == "auto" else int(args.get("nn", 16))
+    skin = float(args.get("skin", 0.4))
     dtype = jnp.float64 if f64 else jnp.float32
 
     if f64:
@@ -43,8 +45,10 @@ def main():
     na = len(pos)
     nph = 3 * na
     axyz = [["Si", *p] for p in pos]
-    drv = SWDriver(axyz, cell=cell, dtype=dtype)
-    print(f"setup: {na} atoms, drv in {time.perf_counter() - t0:.1f} s")
+    drv = SWDriver(axyz, cell=cell, dtype=dtype, max_nnei=nn,
+                   cutoff_skin=skin)
+    print(f"setup: {na} atoms, nn={nn} skin={skin}, drv in "
+          f"{time.perf_counter() - t0:.1f} s")
 
     dt, T, delta = 0.25 / 0.658, 300.0, 0.1
     nmd = nsteps

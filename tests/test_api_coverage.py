@@ -78,6 +78,29 @@ class TestBathRefactorisation:
         np.testing.assert_allclose(np.asarray(pb2.kernel),
                                    np.asarray(pb.kernel[:5]), rtol=1e-10)
 
+    def test_mode_predicates(self):
+        """UseG/UsePi/UseK report the build mode (baths.py:356-373)."""
+        pb = self._ph()
+        assert pb.UseG() and not pb.UsePi() and not pb.UseK()
+        gwl = np.linspace(0.0, 0.6, 8)
+        sig = -1j * gwl[:, None, None] * np.eye(2) * 0.02
+        pb_pi = B.phbath(300.0, [0, 1], 0.3, 16, 0.4, 64, ml=9,
+                         sig=sig, gwl=gwl, dtype=jnp.float64)
+        assert pb_pi.UsePi() and pb_pi.UseG() and not pb_pi.UseK()
+        deb = B.phbath(300.0, [0, 1], 0.3, 16, 0.4, 64,
+                       dtype=jnp.float64)
+        assert deb.mode == "debye" and not deb.UsePi()
+
+    def test_ggamma_zero_row(self):
+        """Gamma = -Im Sigma / w; the w=0 row copies the next point
+        (baths.py:375-395)."""
+        gwl = np.array([0.0, 0.2, 0.4])
+        sig = -1j * np.array([0.5, 0.2, 0.4])[:, None, None] * np.eye(2)
+        g = B.ggamma(sig, gwl)
+        np.testing.assert_allclose(g[1], np.eye(2) * (0.2 / 0.2))
+        np.testing.assert_allclose(g[2], np.eye(2) * (0.4 / 0.4))
+        np.testing.assert_allclose(g[0], g[1])   # w=0 row <- next point
+
     def test_ebath_setmdsteps(self, key):
         eb = B.ebath([0], 300.0, 0.4, 64, wmax=1.0,
                      efric=np.eye(1) / 60.0, dtype=jnp.float64)

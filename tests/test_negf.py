@@ -348,6 +348,58 @@ class TestReferenceSelfEnergyMethods:
         assert b.retarbiasselfenergy(0.1, []) == 0
         assert b.kbiasselfenergy(0.1, 300.0, []) == 0
 
+    def test_less_great_fdt_relation(self):
+        """Sig^> - Sig^< = 2i Im Sigma^r (the Keldysh identity) and both
+        are anti-Hermitian-ish diagonal here."""
+        b = self._biased()
+        w, T = 0.3 / U.RPC, 300.0
+        dof = b.dofatomofbath[0]
+        sl = b.lessselfenergy(w, T, dof)
+        sg = b.greatselfenergy(w, T, dof)
+        np.testing.assert_allclose(sg - sl,
+                                   2j * np.imag(b.retarselfenergy(w, dof)),
+                                   atol=1e-14)
+        slb = b.lessbiasselfenergy(w, T, b.dofatomofbias)
+        sgb = b.greatbiasselfenergy(w, T, b.dofatomofbias)
+        np.testing.assert_allclose(
+            sgb - slb, 2j * np.imag(b.retarbiasselfenergy(
+                w, b.dofatomofbias)), atol=1e-14)
+
+    def test_gf_blocks_shapes_and_hermiticity(self):
+        """i G^< and -i G^> blocks are Hermitian positive-semidefinite
+        when built from a single lead's Sigma."""
+        b = self._biased()
+        w, T = 0.3 / U.RPC, 300.0
+        dof = b.dofatomofbath[0]
+        gl = b.lessgf(w, T, dof)
+        gg = b.greatgf(w, T, dof)
+        assert gl.shape == (len(dof), len(dof))
+        np.testing.assert_allclose(1j * gl, (1j * gl).conj().T, atol=1e-12)
+        np.testing.assert_allclose(-1j * gg, (-1j * gg).conj().T,
+                                   atol=1e-12)
+        ev = np.linalg.eigvalsh(1j * gl)
+        assert (ev > -1e-12).all()
+
+    def test_biasthermalcurrent(self):
+        """Zero without bias; finite with, and scales off at bias->0."""
+        k, damp = 0.1, 20.0
+        n = 8
+        d = np.zeros((n, n))
+        for i in range(n - 1):
+            d[i, i] += k; d[i + 1, i + 1] += k
+            d[i, i + 1] -= k; d[i + 1, i] -= k
+        b0 = bpt(d / U.RPC ** 2, 0.7, damp, [[0], [n - 1]], num=40)
+        assert b0.biasthermalcurrent(300.0, [3, 4]) == 0.0
+        b = self._biased()
+        j = b.biasthermalcurrent(300.0, b.dofatomofbias, num=40)
+        assert np.isfinite(j)
+        # with the bias block zeroed the draft integrand vanishes
+        b.bias = 0.0
+        b.biasgamma = b.biasgamma * 0.0
+        b.chiminus = b.chiminus * 0.0
+        j0 = b.biasthermalcurrent(300.0, b.dofatomofbias, num=40)
+        assert abs(j0) < 1e-12
+
 
 class TestShardedEnergyGrid:
     def test_gettm_sharded_matches_serial(self):

@@ -19,6 +19,19 @@ def _structure(na=8, a=1.6, jitter=0.0, rng=None):
     return x
 
 
+def test_build_neighbors_autosize():
+    """max_nnei=None shrinks the table to observed occupancy (multiple
+    of 4) and matches the fixed-width table's leading columns."""
+    x = _structure(na=10)
+    nbr_a, mask_a = build_neighbors(x, cutoff=4.0, max_nnei=None)
+    nbr_f, mask_f = build_neighbors(x, cutoff=4.0, max_nnei=16)
+    occ = int(mask_f.sum(1).max())
+    assert nbr_a.shape[1] == max(4, -(-occ // 4) * 4) < 16
+    nn = nbr_a.shape[1]
+    np.testing.assert_array_equal(mask_a, mask_f[:, :nn])
+    np.testing.assert_array_equal(nbr_a[mask_a], nbr_f[:, :nn][mask_a])
+
+
 @pytest.fixture
 def model():
     x = _structure()
