@@ -72,7 +72,8 @@ def primary(jax, jnp):
         @jax.jit
         def f(dyn_a, mask_a, bl, br):
             system = GLESystem(dyn=dyn_a, baths=(bl, br), mask=mask_a,
-                               dt=dt, nph=nph, ml=ml, nmd=nmd)
+                               dt=dt, nph=nph, ml=ml, nmd=nmd,
+                               unconstrained=True)
             st = initial_state(system)
             fin, ys = run_segment_blocked(system, st, nmd, 0, block=block)
             cur = ys["cur"][nmd // 4:]
@@ -130,7 +131,8 @@ def primary(jax, jnp):
                 system = GLESystem(
                     dyn=dyn_a, baths=(bl.replace(noise=nzl),
                                       br.replace(noise=nzr)),
-                    mask=mask_a, dt=dt, nph=nph, ml=ml, nmd=nmd)
+                    mask=mask_a, dt=dt, nph=nph, ml=ml, nmd=nmd,
+                    unconstrained=True)
                 st = initial_state(system)
                 fin, ys = rsb(system, st, nmd, 0, block=block)
                 return (jnp.mean(ys["cur"], axis=0),

@@ -77,6 +77,14 @@ class GLESystem:
     nmd: int = struct.field(pytree_node=False)
     force_fn: Optional[Callable] = struct.field(pytree_node=False,
                                                 default=None)
+    # STATIC promise that ``mask`` is identically 1 (no constrained
+    # DOFs). Enables the blocked integrator's force carry-forward: the
+    # predictor force at q_{t+1} equals the last corrector force at
+    # q_tt (they are the same point when no mask is applied), so each
+    # step needs ONE fresh potential evaluation instead of two — 2x on
+    # force-dominated (many-body potential) workloads. Ignored by the
+    # reference-shaped plain path.
+    unconstrained: bool = struct.field(pytree_node=False, default=False)
     savep: bool = struct.field(pytree_node=False, default=False)
     saveq: bool = struct.field(pytree_node=False, default=False)
     savef: bool = struct.field(pytree_node=False, default=False)
@@ -307,10 +315,15 @@ def run_segment_blocked(system: GLESystem, state: MDState, nsteps: int,
     def scatter(b, f_local):
         return jnp.zeros((nph,), f_local.dtype).at[b.cids].set(f_local)
 
+    free = system.unconstrained
+
     def inner(carry, xs):
-        p, q, qprev, rings, nrows = carry
+        if free:
+            p, q, qprev, rings, nrows, pf = carry
+        else:
+            p, q, qprev, rings, nrows = carry
+            pf = system.potential_force(q)
         etot = 0.5 * jnp.dot(p, p)
-        pf = system.potential_force(q)
         fbaths = []
         corr_bases = []
         for i, b in enumerate(system.baths):
@@ -378,10 +391,18 @@ def run_segment_blocked(system: GLESystem, state: MDState, nsteps: int,
         if system.cf_fn is not None:
             out["cf"] = system.cf_fn(q) + system.dyn @ q
         new_nrows = tuple(xs[i][0] for i in range(len(system.baths)))
-        return (ptt2, qtt, q, new_rings, new_nrows), out
+        carry_out = (ptt2, qtt, q, new_rings, new_nrows)
+        if free:
+            # next step's q IS this qtt (mask == 1), so its predictor
+            # force is exactly pf2 — carry it instead of re-evaluating
+            carry_out = carry_out + (pf2,)
+        return carry_out, out
 
     def outer(carry, xs_blk):
-        p, q, qprev, bhists, nrows = carry
+        if free:
+            p, q, qprev, bhists, nrows, pf = carry
+        else:
+            p, q, qprev, bhists, nrows = carry
         xs_inner = []
         for i, b in enumerate(system.baths):
             n1 = xs_blk[i]
@@ -394,18 +415,25 @@ def run_segment_blocked(system: GLESystem, state: MDState, nsteps: int,
         rings = tuple(
             jnp.zeros((block, b.nc), dtype) if plans[i] is not None
             else None for i, b in enumerate(system.baths))
-        (p, q, qprev, rings, nrows), ys = jax.lax.scan(
-            inner, (p, q, qprev, rings, nrows), tuple(xs_inner),
+        carry_in = (p, q, qprev, rings, nrows) + ((pf,) if free else ())
+        fin, ys = jax.lax.scan(
+            inner, carry_in, tuple(xs_inner),
             length=block, unroll=unroll)
+        p, q, qprev, rings, nrows = fin[:5]
         new_hists = tuple(
             jnp.concatenate([rings[i], bhists[i]], 0)[: b.ml - 1]
             if plans[i] is not None else None
             for i, b in enumerate(system.baths))
-        return (p, q, qprev, new_hists, nrows), ys
+        carry_out = (p, q, qprev, new_hists, nrows)
+        if free:
+            carry_out = carry_out + (fin[5],)
+        return carry_out, ys
 
     carry0 = (state.p, state.q, state.qhis[0], hists, nrow0)
-    (p, q, qprev, hists_f, _), ys = jax.lax.scan(
-        outer, carry0, xs_outer, length=nblocks)
+    if free:
+        carry0 = carry0 + (system.potential_force(state.q),)
+    fin, ys = jax.lax.scan(outer, carry0, xs_outer, length=nblocks)
+    p, q, qprev, hists_f = fin[0], fin[1], fin[2], fin[3]
     ys = jax.tree_util.tree_map(
         lambda a: a.reshape((nsteps,) + a.shape[2:]), ys)
 
@@ -632,6 +660,7 @@ class md:
             mask=self._constraint_mask(),
             dt=self.dt, nph=self.nph, ml=self.ml, nmd=self.nmd,
             force_fn=force_fn,
+            unconstrained=self.constraint is None or not self.constraint,
             savep=self.savep or self.saveall,
             saveq=self.saveq or self.saveall or (self.nstep is not None),
             savef=savef or self.saveall or (self.nstep is not None),

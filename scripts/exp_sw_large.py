@@ -81,7 +81,7 @@ def main():
             dyn=None, baths=(bl.replace(noise=noise_l),
                              br.replace(noise=noise_r)),
             mask=mask_a, dt=dt, nph=nph, ml=1, nmd=nmd,
-            force_fn=drv.force_jax)
+            force_fn=drv.force_jax, unconstrained=True)
         st = initial_state(system, dtype=dtype)
         fin, ys = run_segment_blocked(system, st, nsteps, 0, block=block)
         return fin.p, jnp.mean(ys["cur"], 0), jnp.isfinite(ys["etot"]).all()

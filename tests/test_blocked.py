@@ -76,6 +76,24 @@ class TestBlockedEquivalence:
                                    np.asarray(ys_ref["etot"]),
                                    rtol=1e-9, atol=1e-12)
 
+    @pytest.mark.parametrize("block", [8, 32])
+    def test_unconstrained_carry_forward_matches(self, block):
+        """unconstrained=True (force carry-forward, one potential eval
+        per step) is BIT-equivalent to the two-eval path when the mask
+        is all ones — same points, same float ops."""
+        system = _system()
+        st = initial_state(system, dtype=jnp.float64)
+        f_ref, ys_ref = run_segment_blocked(system, st, 64, block=block)
+        sysf = system.replace(unconstrained=True)
+        f_fast, ys_fast = run_segment_blocked(sysf, st, 64, block=block)
+        _assert_state_close(f_fast, f_ref, rtol=1e-13)
+        np.testing.assert_allclose(np.asarray(ys_fast["cur"]),
+                                   np.asarray(ys_ref["cur"]),
+                                   rtol=1e-12, atol=1e-15)
+        np.testing.assert_allclose(np.asarray(ys_fast["etot"]),
+                                   np.asarray(ys_ref["etot"]),
+                                   rtol=1e-13, atol=1e-15)
+
     def test_block_larger_than_kernel(self):
         # block (32) > ml (6): in-block taps dominate, O mostly zero-pad
         system = _system(ml=6)
