@@ -91,15 +91,23 @@ class JaxDriver:
             q = jnp.zeros(3 * self.number, self.dtype)
         return float(self._energy(jnp.asarray(q, self.dtype)))
 
-    def dynmat(self, q=None, dtype=jnp.float64):
+    def dynmat(self, q=None, dtype=jnp.float64, chunk=None):
         """Dynamical matrix in eV^2 via jax.hessian in q-space.
 
         Replaces LAMMPS ``dynamical_matrix all eskm`` + the rpc^2
         conversion (lammpsdriver.py:89-102). D = conv conv^T (*)
         d^2 E / dx^2 evaluated at the (displaced) structure.
+
+        ``chunk``: build the Hessian in row blocks of vmapped
+        Hessian-vector products instead of one jax.hessian call —
+        required for large systems where the full forward-over-reverse
+        trace does not fit memory (10k+ DOF junctions). ``chunk=None``
+        auto-selects: full hessian below 2,000 DOF, 256-row HVP blocks
+        above. Identical result either way (tests pin it).
         """
+        nph = 3 * self.number
         if q is None:
-            q = jnp.zeros(3 * self.number, dtype)
+            q = jnp.zeros(nph, dtype)
         xyz_j = jnp.asarray(self.xyz, dtype)
         conv_j = jnp.asarray(self.conv, dtype)
         na = self.number
@@ -107,7 +115,26 @@ class JaxDriver:
         def e_of_q(qq):
             return self.energy_fn((xyz_j + conv_j * qq).reshape(na, 3))
 
-        h = jax.hessian(e_of_q)(jnp.asarray(q, dtype))
+        if chunk is None and nph > 2000:
+            chunk = 256
+        q = jnp.asarray(q, dtype)
+        if chunk:
+            grad_fn = jax.grad(e_of_q)
+
+            @jax.jit
+            def hvp_block(vs):
+                return jax.vmap(
+                    lambda v: jax.jvp(grad_fn, (q,), (v,))[1])(vs)
+
+            rows = []
+            for i in range(0, nph, chunk):
+                n = min(chunk, nph - i)
+                eye_blk = np.zeros((n, nph), dtype)
+                eye_blk[np.arange(n), i + np.arange(n)] = 1.0
+                rows.append(np.asarray(hvp_block(jnp.asarray(eye_blk))))
+            h = jnp.asarray(np.concatenate(rows, axis=0))
+        else:
+            h = jax.hessian(e_of_q)(q)
         return 0.5 * (h + h.T)
 
     def quit(self):

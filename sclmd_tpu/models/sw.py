@@ -132,7 +132,7 @@ class SWDriver:
     specialisation; same duck-typed protocol as the reference drivers).
     """
 
-    def __init__(self, axyz, cutoff_skin=0.4, max_nnei=16, cell=None,
+    def __init__(self, axyz, cutoff_skin=0.4, max_nnei=None, cell=None,
                  element=None, dtype=jnp.float64, params=None):
         from sclmd_tpu.models.driver import JaxDriver
         from sclmd_tpu.models.nnp import build_neighbors

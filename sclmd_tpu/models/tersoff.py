@@ -242,7 +242,7 @@ def graphene_ribbon(nx: int, ny: int, a: float = 1.42):
 class TersoffDriver:
     """Force driver for a Tersoff system (JaxDriver specialisation)."""
 
-    def __init__(self, axyz, cutoff_skin=0.4, max_nnei=12, cell=None,
+    def __init__(self, axyz, cutoff_skin=0.4, max_nnei=None, cell=None,
                  element=None, dtype=jnp.float64, params=None):
         from sclmd_tpu.models.driver import JaxDriver
         from sclmd_tpu.models.nnp import build_neighbors

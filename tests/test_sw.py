@@ -76,6 +76,16 @@ class TestSWDriver:
         ev = np.linalg.eigvalsh((d + d.T) / 2)
         assert ev.min() > -1e-6          # stable equilibrium
 
+    def test_dynmat_chunked_matches_full(self):
+        """Row-block HVP assembly (the large-system path) equals the
+        one-shot jax.hessian dynamical matrix."""
+        axyz, cell = self._junction()
+        drv = SWDriver(axyz, cell=cell)
+        d_full = np.asarray(drv.dynmat())
+        d_chunk = np.asarray(drv.dynmat(chunk=7))
+        np.testing.assert_allclose(d_chunk, d_full, rtol=1e-10,
+                                   atol=1e-12)
+
     def test_nve_energy_conservation(self):
         """Bath-free NVE MD with the SW driver inside the jitted scan
         conserves total energy.
