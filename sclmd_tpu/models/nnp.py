@@ -48,10 +48,16 @@ def build_neighbors(xyz, cutoff: float, max_nnei: int,
         # the observed occupancy (rounded up to a multiple of 4). The
         # three-body cost of the many-body potentials scales as nn^2, so
         # a tight table is a large win (diamond Si: 4 real neighbors vs
-        # a 16-wide default).
-        nbr, mask = build_neighbors(x, cutoff, 64, cell=cell, skin=skin,
-                                    backend=backend)
-        occ = int(mask.sum(1).max()) if mask.any() else 1
+        # a 16-wide default). Grow the cap if saturated (EAM-class
+        # cutoffs of ~2 lattice constants see ~80 fcc neighbors).
+        cap = 64
+        while True:
+            nbr, mask = build_neighbors(x, cutoff, cap, cell=cell,
+                                        skin=skin, backend=backend)
+            occ = int(mask.sum(1).max()) if mask.any() else 1
+            if occ < cap or cap >= 1024:
+                break
+            cap *= 2
         nn = max(4, -(-occ // 4) * 4)
         return nbr[:, :nn], mask[:, :nn]
     if backend == "native" or (backend == "auto" and na > 2000):

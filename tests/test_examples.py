@@ -17,6 +17,7 @@ QUICK_EXAMPLES = [
     ("runsig.py", []),
     ("compareforce.py", []),
     ("ensemble.py", []),
+    ("runeam.py", ["--quick"]),
     (os.path.join("current_induced", "runnegf.py"), []),
 ]
 
