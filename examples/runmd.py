@@ -38,9 +38,38 @@ if "--data" in sys.argv:
 else:
     x = graphene_ribbon(6 if quick else 10, 3)
     axyz = [["C", *row] for row in x]
-drv = TersoffDriver(axyz, dtype=jnp.float32)
-na = drv.number
-print(f"junction: {na} atoms, Tersoff ({sorted(set(drv.els))})")
+na = len(axyz)
+
+# partition along the transport (x) axis with the reference's
+# proportions (runmd.py:31-38 — 20 fixed / 50 lead / 61 device / 50
+# lead / 20 fixed on the 201-atom structure.data):
+from sclmd_tpu.utils.junction import partition_by_axis, relax_for_model
+
+part = partition_by_axis(axyz)
+fixdofs, ecatsl, ecatsr = part["fixdofs"], part["ecatsl"], part["ecatsr"]
+
+
+def make_driver(a):
+    if any(row[0] == "H" for row in a):
+        # hydrogen-terminated input (e.g. the reference's
+        # structure.data): Tersoff backbone + spectroscopic C-H
+        # terminators
+        from sclmd_tpu.models.hydrocarbon import CHDriver
+        return CHDriver(a, dtype=jnp.float32)
+    return TersoffDriver(a, dtype=jnp.float32)
+
+
+if "--data" in sys.argv:
+    # external structures are minimized for the ORIGINAL potential
+    # (structure.data: LAMMPS REBO); relax them for this model first,
+    # holding the fixed ends (replaces the external LAMMPS minimize)
+    axyz, fmax, nit = relax_for_model(axyz, make_driver,
+                                      part["fixed_atoms"])
+    print(f"relaxed for this potential: fmax={fmax:.2e} eV/Ang "
+          f"({nit} relaxation steps)")
+
+drv = make_driver(axyz)
+print(f"junction: {na} atoms ({sorted(set(drv.els))})")
 
 # --- MD setup (reference runmd.py:17-58) ---------------------------------
 T = 300.0
@@ -48,11 +77,6 @@ delta = 0.1
 nstart, nstop = 0, 2 if quick else 3
 dt = 0.25 / 0.658               # 0.25 fs in natural time units
 nmd = 2 ** (10 if quick else 12)
-
-nlead = 3 * (na // 4)           # DOFs per lead
-fixdofs = list(range(0, 6)) + list(range(3 * na - 6, 3 * na))
-ecatsl = list(range(6, 6 + nlead))
-ecatsr = list(range(3 * na - 6 - nlead, 3 * na - 6))
 
 runner = md(dt, nmd, T, axyz=axyz, dyn=np.asarray(drv.dynmat()),
             nstart=nstart, nstop=nstop, dtype=jnp.float32)
@@ -70,9 +94,17 @@ runner.AddBath(ebr)
 runner.AddConstr([fixdofs])
 
 t0 = time.time()
-runner.Run()
-print("MD wall time: %.1f s (%.0f steps/s)"
-      % (time.time() - t0, (nstop - nstart) * nmd / (time.time() - t0)))
+if "--ensemble" in sys.argv:
+    # proper statistics: N independent trajectories as ONE vmapped
+    # scan (the reference runs its ensemble sequentially, md.py:506)
+    ntraj = int(sys.argv[sys.argv.index("--ensemble") + 1])
+    runner.RunEnsemble(ntraj)
+    nsteps_total = ntraj * nmd
+else:
+    runner.Run()
+    nsteps_total = (nstop - nstart) * nmd
+print("MD wall time: %.1f s (%.0f traj-steps/s)"
+      % (time.time() - t0, nsteps_total / (time.time() - t0)))
 
 calHF()
 calTC(delta=delta, dlist=0)

@@ -101,9 +101,12 @@ class JaxDriver:
         ``chunk``: build the Hessian in row blocks of vmapped
         Hessian-vector products instead of one jax.hessian call —
         required for large systems where the full forward-over-reverse
-        trace does not fit memory (10k+ DOF junctions). ``chunk=None``
-        auto-selects: full hessian below 2,000 DOF, 256-row HVP blocks
-        above. Identical result either way (tests pin it).
+        trace does not fit memory (10k+ DOF junctions), and much
+        faster to compile on the TPU tunnel from a few hundred DOF up
+        (603-DOF C/H junction: >470 s full vs 10 s chunked).
+        ``chunk=None`` auto-selects: full hessian below 512 DOF,
+        256-row HVP blocks above. Identical result either way (tests
+        pin it).
         """
         nph = 3 * self.number
         if q is None:
@@ -115,7 +118,7 @@ class JaxDriver:
         def e_of_q(qq):
             return self.energy_fn((xyz_j + conv_j * qq).reshape(na, 3))
 
-        if chunk is None and nph > 2000:
+        if chunk is None and nph > 512:
             chunk = 256
         q = jnp.asarray(q, dtype)
         if chunk:

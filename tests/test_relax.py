@@ -3,22 +3,43 @@
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
 from sclmd_tpu.models.eam import EAMDriver, SUTTON_CHEN_PARAMS, fcc_cell
-from sclmd_tpu.models.relax import fire_relax
+from sclmd_tpu.models.relax import fire_relax, lbfgs_relax
 
 
-def test_quadratic_well_exact():
-    """FIRE finds the minimum of an anisotropic quadratic bowl."""
+@pytest.mark.parametrize("relaxer", [fire_relax, lbfgs_relax],
+                         ids=["fire", "lbfgs"])
+def test_quadratic_well_exact(relaxer):
+    """Both minimizers find an anisotropic quadratic bowl's minimum."""
     k = jnp.asarray(np.array([[1.0, 3.0, 0.5], [2.0, 1.5, 4.0]]))
     x_star = jnp.asarray(np.array([[0.3, -1.2, 2.0], [0.0, 5.0, -2.5]]))
 
     def e(x):
         return 0.5 * jnp.sum(k * (x - x_star) ** 2)
 
-    x, fmax, it = fire_relax(e, np.zeros((2, 3)), tol=1e-8)
+    x, fmax, it = relaxer(e, np.zeros((2, 3)), tol=1e-8)
     assert fmax <= 1e-8
     np.testing.assert_allclose(x, np.asarray(x_star), atol=1e-6)
     assert 0 < it < 5000
+
+
+def test_lbfgs_fixed_mask_and_cluster():
+    """L-BFGS relaxes the rattled Cu cluster with frozen atoms held."""
+    a0 = SUTTON_CHEN_PARAMS["Cu"]["a"]
+    pos, _ = fcc_cell(2, 2, 2, a0)
+    rng = np.random.default_rng(17)
+    x0 = pos + 0.04 * rng.standard_normal(pos.shape)
+    axyz = [["Cu"] + list(p) for p in x0]
+    drv = EAMDriver(axyz, rcut=1.2 * a0, cutoff_skin=0.6)
+    fixed = np.zeros(pos.shape, bool)
+    fixed[:4] = True
+    x, fmax, it = lbfgs_relax(drv.energy_fn, x0, tol=1e-5,
+                              fixed_mask=fixed)
+    np.testing.assert_array_equal(x[:4], x0[:4])
+    assert fmax <= 1e-5
+    assert it < 1000
 
 
 def test_relax_perturbed_metal_cluster():
