@@ -148,6 +148,42 @@ def ch_energy(axyz, cell: Optional[np.ndarray] = None,
     return energy, bonds
 
 
+def terminate_with_h(axyz, cell=None, bond: float = CH_MORSE["r0"],
+                     cc_cut: float = 1.8, target_coord: int = 3):
+    """Passivate under-coordinated carbon edges with hydrogen.
+
+    For every C with fewer than ``target_coord`` carbon neighbors
+    (within ``cc_cut`` Ang), add one H at distance ``bond`` along the
+    outward bisector of the existing bonds (in the local sheet plane).
+    Returns a new axyz list with the H rows appended — the
+    programmatic counterpart of the reference's pre-terminated
+    structure.data edges."""
+    els = [a[0] for a in axyz]
+    x0 = np.array([a[1:] for a in axyz], dtype=float)
+    c_ids = [i for i, e in enumerate(els) if e == "C"]
+    xc = x0[[i for i in c_ids]]
+
+    def mic(d):
+        if cell is None:
+            return d
+        c = np.asarray(cell)
+        return d - np.round(d / c) * c
+
+    out = [list(a) for a in axyz]
+    for k, i in enumerate(c_ids):
+        d = mic(xc - x0[i])
+        r = np.linalg.norm(d, axis=1)
+        nbrs = np.nonzero((r > 1e-6) & (r < cc_cut))[0]
+        if len(nbrs) >= target_coord or len(nbrs) == 0:
+            continue
+        u = -(d[nbrs] / r[nbrs, None]).sum(0)
+        norm = np.linalg.norm(u)
+        if norm < 1e-6:
+            continue        # bonds balance (e.g. linear chain middle)
+        out.append(["H"] + list(x0[i] + bond * u / norm))
+    return out
+
+
 class CHDriver:
     """Force driver for hydrogen-terminated carbon junctions
     (JaxDriver specialisation; the reference's structure.data + REBO

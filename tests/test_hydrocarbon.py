@@ -26,6 +26,32 @@ def benzene():
     return axyz
 
 
+class TestTerminate:
+    def test_ribbon_edges_passivated(self):
+        from sclmd_tpu.models.hydrocarbon import terminate_with_h
+        from sclmd_tpu.models.tersoff import graphene_ribbon
+
+        x = graphene_ribbon(4, 3)
+        axyz = [["C", *row] for row in x]
+        out = terminate_with_h(axyz)
+        nh = sum(1 for a in out if a[0] == "H")
+        assert nh > 0
+        # every added H sits ~1.09 Ang from exactly one C
+        pos = np.array([a[1:] for a in out])
+        els = [a[0] for a in out]
+        for i, e in enumerate(els):
+            if e != "H":
+                continue
+            d = np.linalg.norm(pos[: len(axyz)] - pos[i], axis=1)
+            assert abs(d.min() - 1.09) < 1e-6
+            assert (d < 1.3).sum() == 1
+        # the terminated structure drives end-to-end
+        drv = CHDriver(out)
+        assert len(drv.ch_bonds) == nh
+        f = np.asarray(drv.force(np.zeros(3 * len(out))))
+        assert np.isfinite(f).all()
+
+
 class TestCHDriver:
     def test_rejects_non_ch(self):
         with pytest.raises(NotImplementedError):
