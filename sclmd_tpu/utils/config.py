@@ -66,7 +66,8 @@ class MDConfig:
     npie: int = 1
     seed: int = 1234
     dtype: str = "float32"
-    driver: str = "harmonic"         # harmonic|tersoff|nnp|native
+    driver: str = "harmonic"    # harmonic|tersoff|ch|sw|eam|native
+    driver_kwargs: dict = field(default_factory=dict)
     constraints: Sequence[Sequence[int]] = field(default_factory=list)
     baths: Sequence[BathConfig] = field(default_factory=list)
     save_power: bool = False
@@ -81,6 +82,9 @@ class MDConfig:
         _check(self.nstop > self.nstart, "nstop must exceed nstart")
         _check(self.dtype in ("float32", "float64"),
                f"unsupported dtype {self.dtype}")
+        _check(self.driver in ("harmonic", "tersoff", "ch", "sw",
+                               "eam", "native"),
+               f"unknown driver kind {self.driver}")
         for b in self.baths:
             b.validate()
         return self
@@ -104,8 +108,33 @@ class MDConfig:
         return cls(baths=baths, **d).validate()
 
     # --- assembly ----------------------------------------------------------
+    def _build_driver(self, axyz, dtype):
+        """Construct the configured force driver from its name."""
+        kw = dict(self.driver_kwargs)
+        if self.driver == "tersoff":
+            from sclmd_tpu.models.tersoff import TersoffDriver as D
+        elif self.driver == "ch":
+            from sclmd_tpu.models.hydrocarbon import CHDriver as D
+        elif self.driver == "sw":
+            from sclmd_tpu.models.sw import SWDriver as D
+        elif self.driver == "eam":
+            from sclmd_tpu.models.eam import EAMDriver as D
+        elif self.driver == "native":
+            from sclmd_tpu.models.native import NativeDriver as D
+            return D(axyz, **kw)
+        else:
+            raise ValueError(f"config cannot build driver "
+                             f"{self.driver!r}; pass driver_obj=")
+        return D(axyz, dtype=dtype, **kw)
+
     def build(self, axyz=None, dyn=None, driver_obj=None):
-        """Assemble a ready md runner (+ attached baths/driver)."""
+        """Assemble a ready md runner (+ attached baths/driver).
+
+        When ``driver`` names a model family ("tersoff", "ch", "sw",
+        "eam", "native") and no ``driver_obj`` is passed, the driver is
+        built from ``axyz`` + ``driver_kwargs``; a missing ``dyn`` is
+        then derived from the driver's dynamical matrix.
+        """
         import numpy as np
         import jax.numpy as jnp
         from sclmd_tpu import baths as B
@@ -114,6 +143,13 @@ class MDConfig:
 
         self.validate()
         dtype = jnp.float64 if self.dtype == "float64" else jnp.float32
+        if driver_obj is None and self.driver != "harmonic":
+            if axyz is None:
+                raise ValueError("config driver needs axyz")
+            driver_obj = self._build_driver(axyz, dtype)
+        if dyn is None and driver_obj is not None \
+                and hasattr(driver_obj, "dynmat"):
+            dyn = np.asarray(driver_obj.dynmat())
         runner = md(self.dt, self.nmd, self.T, axyz=axyz, dyn=dyn,
                     nstart=self.nstart, nstop=self.nstop, npie=self.npie,
                     dtype=dtype, seed=self.seed, outdir=self.outdir,

@@ -52,6 +52,30 @@ class TestConfig:
         assert (tmp_path / "kappa.300.bath0.run0.dat").exists()
         assert np.allclose(np.asarray(runner.state.q)[9:12], 0.0)
 
+    def test_build_named_driver(self, tmp_path):
+        """driver="sw" constructs the model from axyz and derives the
+        dynamical matrix automatically; the run produces currents."""
+        from sclmd_tpu.models.sw import diamond_cell
+
+        pos, cell = diamond_cell(1, 1, 2)
+        axyz = [["Si"] + list(p) for p in pos]
+        n = 3 * len(axyz)
+        cfg = MDConfig(dt=0.4, nmd=32, T=100.0, dtype="float64",
+                       outdir=str(tmp_path), driver="sw",
+                       driver_kwargs={"cell": cell},
+                       baths=[BathConfig(kind="electron",
+                                         cats=list(range(6)), T=100.0,
+                                         wmax=1.0, efric_scale=0.01)])
+        runner = cfg.build(axyz=axyz)
+        assert runner.pforce is not None
+        assert runner.dyn is not None and runner.dyn.shape == (n, n)
+        runner.Run()
+        assert (tmp_path / "kappa.100.bath0.run0.dat").exists()
+
+    def test_unknown_driver_rejected(self):
+        with pytest.raises(ValueError):
+            MDConfig(dt=0.4, nmd=32, T=100.0, driver="rebo").validate()
+
     def test_build_with_lambda_file(self, tmp_path, rng):
         from sclmd_tpu.utils.io import WritewbLambda
         n = 3
