@@ -926,7 +926,14 @@ class md:
                     nevecs=None, nstd=None)
                 for i in range(nb)))
         else:
-            bsys = ensemble_noise(system, self._next_key(), ntraj)
+            # sample with the PSD factors present so gnoi takes the
+            # device path (sample_noise_dev — tunnel-safe, vmappable);
+            # _build_system strips the factors, and ensemble_noise
+            # strips them again from what it returns
+            baths_f = tuple(b if b.nstd is not None else b.prepare_noise()
+                            for b in self.baths)
+            bsys = ensemble_noise(system.replace(baths=baths_f),
+                                  self._next_key(), ntraj)
             if self.dyn is not None and self.initranvel:
                 states = ensemble_states(
                     bsys, ntraj, key=self._next_key(),

@@ -57,6 +57,29 @@ class TestSuttonChen:
         assert abs(s_min - 1.0) <= 0.02, (s_min, epa)
         assert -4.2 < epa.min() < -2.8, epa.min()
 
+    # experimental cohesive energies the Sutton-Chen sets were fit to
+    ECOH = {"Ni": 4.44, "Cu": 3.49, "Rh": 5.75, "Pd": 3.89,
+            "Ag": 2.95, "Ir": 6.94, "Pt": 5.84, "Au": 3.81,
+            "Al": 3.39, "Pb": 2.03}
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("el", sorted(SUTTON_CHEN_PARAMS))
+    def test_all_elements_lattice_and_cohesion(self, el):
+        """Joint consistency of every parameter set: energy/atom is
+        minimised AT the published lattice constant (couples c, n, m,
+        a) and matches the fitted experimental cohesive energy within
+        truncation error (couples eps*c)."""
+        p = SUTTON_CHEN_PARAMS[el]
+        scales = np.linspace(0.96, 1.04, 9)
+        epa = []
+        for s in scales:
+            pos, cell = fcc_cell(4, 4, 4, s * p["a"])
+            drv = EAMDriver([[el] + list(x) for x in pos], cell=cell)
+            epa.append(drv.energy() / len(pos))
+        epa = np.array(epa)
+        assert scales[np.argmin(epa)] == pytest.approx(1.0, abs=0.011)
+        assert epa.min() == pytest.approx(-self.ECOH[el], rel=0.07)
+
     def test_dynmat_translation_invariance(self):
         """Rigid translation is a zero mode of the dynamical matrix
         (exact for the periodic lattice, strained or not)."""

@@ -297,6 +297,32 @@ class TestRunEnsemble:
         # hot bath injects on average
         assert means[:, 0].mean() > means[:, 1].mean()
 
+    def test_ensemble_noise_takes_factor_path(self, tmp_path,
+                                              monkeypatch):
+        """RunEnsemble must sample noise through the precomputed PSD
+        factors (sample_noise_dev — the tunnel-safe, vmappable path),
+        never the eager all-jnp enoise fallback: eager complex ops
+        fail on the axon TPU tunnel (regression: the factors were
+        stripped by _build_system before ensemble_noise saw them)."""
+        import sclmd_tpu.ops.noise as NZ
+
+        nat = 2
+        axyz = [["C", 1.0 * i, 0.0, 0.0] for i in range(nat)]
+        dyn = np.asarray(chain_dynmat(3 * nat, 0.05))
+        runner = md(0.4, 64, 300.0, axyz=axyz, dyn=dyn, nstop=1,
+                    dtype=jnp.float64, outdir=str(tmp_path))
+        runner.AddBath(B.ebath(range(3), 300.0, 0.4, 64, wmax=1.0,
+                               efric=np.eye(3) / 80.0,
+                               dtype=jnp.float64))
+
+        def boom(*a, **k):
+            raise AssertionError("eager enoise reached from "
+                                 "RunEnsemble")
+
+        monkeypatch.setattr(NZ, "enoise", boom)
+        means = runner.RunEnsemble(2)
+        assert np.isfinite(np.asarray(means)).all()
+
 
 class TestStaleCheckpoint:
     def test_mismatched_checkpoint_rejected(self, tmp_path):
