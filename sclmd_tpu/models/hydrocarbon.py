@@ -161,7 +161,7 @@ def terminate_with_h(axyz, cell=None, bond: float = CH_MORSE["r0"],
     els = [a[0] for a in axyz]
     x0 = np.array([a[1:] for a in axyz], dtype=float)
     c_ids = [i for i, e in enumerate(els) if e == "C"]
-    xc = x0[[i for i in c_ids]]
+    xc = x0[c_ids]
 
     def mic(d):
         if cell is None:
