@@ -101,6 +101,29 @@ class TestCHDriver:
         assert abs(e1 - e0) < 2e-3 * max(abs(e0), 1e-3), (e0, e1)
 
 
+def test_ch_ensemble_runs(tmp_path):
+    """CHDriver + RunEnsemble: the flagship-workload combination
+    (vmapped trajectories over a many-body C/H junction)."""
+    from sclmd_tpu import baths as B
+    from sclmd_tpu.md import md
+
+    axyz = benzene()
+    drv = CHDriver(axyz)
+    n = 3 * len(axyz)
+    runner = md(0.4, 64, 300.0, axyz=axyz,
+                dyn=np.asarray(drv.dynmat()), nstop=1,
+                dtype=jnp.float64, outdir=str(tmp_path))
+    runner.AddPotential(drv)
+    eta = np.eye(6) / 80.0
+    runner.AddBath(B.ebath(range(6), 330.0, 0.4, 64, wmax=1.0,
+                           efric=eta, dtype=jnp.float64))
+    runner.AddBath(B.ebath(range(n - 6, n), 270.0, 0.4, 64, wmax=1.0,
+                           efric=eta, dtype=jnp.float64))
+    means = runner.RunEnsemble(3)
+    assert means.shape == (3, 2)
+    assert np.isfinite(np.asarray(means)).all()
+
+
 @pytest.mark.skipif(not os.path.exists(REF_DATA),
                     reason="reference structure.data not present")
 class TestFlagshipStructure:
