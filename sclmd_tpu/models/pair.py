@@ -99,3 +99,64 @@ def sum_energies(*fns: Callable) -> Callable:
     def energy(x):
         return sum(f(x) for f in fns)
     return energy
+
+
+class PairDriver:
+    """Force driver for a pair-potential system (JaxDriver
+    specialisation; the LAMMPS ``pair_style lj/cut`` / ``morse``
+    stand-in, same duck-typed protocol as the reference drivers,
+    ref lammpsdriver.py:19-102).
+
+    ``kind``: "lj" (params epsilon, sigma) or "morse" (params D,
+    alpha, r0). ``cutoff`` defaults to 2.5 sigma / r0 + 2.5/alpha.
+    """
+
+    def __init__(self, axyz, kind: str = "lj", params: Optional[dict] = None,
+                 cutoff: Optional[float] = None, cell=None, skin: float = 0.3,
+                 dtype=jnp.float64):
+        from sclmd_tpu.models.driver import JaxDriver
+
+        p = dict(params or {})
+        x0 = np.array([a[1:] for a in axyz], dtype=float)
+        if kind == "lj":
+            eps = p.get("epsilon", 1.0)
+            sig = p.get("sigma", 1.0)
+            rc = cutoff if cutoff is not None else 2.5 * sig
+            pairs = neighbor_pairs(x0, rc, skin=skin, cell=cell)
+            efn = lennard_jones_energy(eps, sig, rc, pairs, cell=cell,
+                                       shift=True)
+        elif kind == "morse":
+            D, alpha, r0 = p.get("D", 1.0), p.get("alpha", 1.0), \
+                p.get("r0", 1.0)
+            rc = cutoff if cutoff is not None else r0 + 2.5 / alpha
+            pairs = neighbor_pairs(x0, rc, skin=skin, cell=cell)
+            efn = morse_energy(D, alpha, r0, rc, pairs, cell=cell)
+        else:
+            raise ValueError(f"unknown pair kind {kind!r}")
+        self.pairs = pairs
+        self._drv = JaxDriver(efn, axyz, dtype=dtype)
+        self.energy_fn = efn
+        for attr in ("axyz", "conv", "xyz", "els", "number", "f0"):
+            setattr(self, attr, getattr(self._drv, attr))
+
+    def force(self, q):
+        return self._drv.force(q)
+
+    def force_jax(self, q):
+        return self._drv.force_jax(q)
+
+    def absforce(self, q):
+        return self._drv.absforce(q)
+
+    def initforce(self):
+        self._drv.initforce()
+        self.f0 = self._drv.f0
+
+    def energy(self, q=None):
+        return self._drv.energy(q)
+
+    def dynmat(self, q=None, **kw):
+        return self._drv.dynmat(q, **kw)
+
+    def quit(self):
+        pass

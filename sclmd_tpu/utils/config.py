@@ -66,7 +66,7 @@ class MDConfig:
     npie: int = 1
     seed: int = 1234
     dtype: str = "float32"
-    driver: str = "harmonic"    # harmonic|tersoff|ch|sw|eam|native
+    driver: str = "harmonic"  # harmonic|tersoff|ch|sw|eam|pair|native
     driver_kwargs: dict = field(default_factory=dict)
     constraints: Sequence[Sequence[int]] = field(default_factory=list)
     baths: Sequence[BathConfig] = field(default_factory=list)
@@ -83,7 +83,7 @@ class MDConfig:
         _check(self.dtype in ("float32", "float64"),
                f"unsupported dtype {self.dtype}")
         _check(self.driver in ("harmonic", "tersoff", "ch", "sw",
-                               "eam", "native"),
+                               "eam", "pair", "native"),
                f"unknown driver kind {self.driver}")
         for b in self.baths:
             b.validate()
@@ -119,6 +119,8 @@ class MDConfig:
             from sclmd_tpu.models.sw import SWDriver as D
         elif self.driver == "eam":
             from sclmd_tpu.models.eam import EAMDriver as D
+        elif self.driver == "pair":
+            from sclmd_tpu.models.pair import PairDriver as D
         elif self.driver == "native":
             from sclmd_tpu.models.native import NativeDriver as D
             return D(axyz, **kw)

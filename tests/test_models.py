@@ -45,6 +45,43 @@ class TestPairPotentials:
         want = lj_oracle(x, 0.01, 2.5, 5.0, pairs)
         np.testing.assert_allclose(got, want, rtol=1e-10)
 
+    def test_pair_driver_protocol(self):
+        """PairDriver meets the reference driver contract: restoring
+        force at a displacement, PSD dynmat at an fcc LJ lattice."""
+        # fcc at the LJ equilibrium spacing r_min = 2^(1/6) sigma
+        sig = 2.5
+        a0 = 2.0 ** (1.0 / 6.0) * sig * np.sqrt(2.0)
+        basis = np.array([[0, 0, 0], [0, .5, .5], [.5, 0, .5],
+                          [.5, .5, 0]])
+        pos = np.concatenate([basis + off for off in
+                              np.indices((2, 2, 2)).reshape(3, -1).T])
+        pos *= a0
+        cell = np.array([2.0, 2.0, 2.0]) * a0
+        axyz = [["Ar"] + list(p) for p in pos]
+        # first-shell cutoff: neighbors sit exactly at the LJ minimum,
+        # so the lattice is strain-free (and 2 (rc+skin) < L)
+        drv = P.PairDriver(axyz, kind="lj",
+                           params=dict(epsilon=0.0104, sigma=sig),
+                           cutoff=0.8 * a0, cell=cell)
+        n = 3 * len(axyz)
+        q = np.zeros(n)
+        q[0] = 0.01
+        f = np.asarray(drv.force(q))
+        assert f.shape == (n,) and np.isfinite(f).all()
+        assert f[0] < 0.0
+        d = np.asarray(drv.dynmat())
+        ev = np.linalg.eigvalsh((d + d.T) / 2)
+        assert ev.min() > -1e-8
+
+    def test_pair_driver_morse_and_rejects(self):
+        axyz = [["Cu", 0.0, 0.0, 0.0], ["Cu", 2.0, 0.0, 0.0]]
+        drv = P.PairDriver(axyz, kind="morse",
+                           params=dict(D=0.4, alpha=1.4, r0=2.0))
+        assert abs(float(drv.energy()) + 0.4) < 1e-8
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            P.PairDriver(axyz, kind="buckingham")
+
     def test_morse_minimum(self):
         x = np.array([[0.0, 0, 0], [1.5, 0, 0]])
         efn = P.morse_energy(1.0, 2.0, 1.5, 4.0, ([0], [1]))
