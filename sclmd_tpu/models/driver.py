@@ -109,36 +109,73 @@ class JaxDriver:
         pin it).
         """
         nph = 3 * self.number
-        if q is None:
-            q = jnp.zeros(nph, dtype)
-        xyz_j = jnp.asarray(self.xyz, dtype)
-        conv_j = jnp.asarray(self.conv, dtype)
+        np_dt = np.float64 if dtype == jnp.float64 else np.float32
+        # closures hold HOST numpy constants only; q travels as a jit
+        # ARGUMENT (tunnel rule: never close over device arrays)
+        q_h = (np.zeros(nph, np_dt) if q is None
+               else np.asarray(q, np_dt))
+        xyz_h = np.asarray(self.xyz, np_dt)
+        conv_h = np.asarray(self.conv, np_dt)
         na = self.number
 
         def e_of_q(qq):
-            return self.energy_fn((xyz_j + conv_j * qq).reshape(na, 3))
+            return self.energy_fn((xyz_h + conv_h * qq).reshape(na, 3))
 
         if chunk is None and nph > 512:
             chunk = 256
-        q = jnp.asarray(q, dtype)
         if chunk:
             grad_fn = jax.grad(e_of_q)
 
             @jax.jit
-            def hvp_block(vs):
+            def hvp_block(qq, vs):
                 return jax.vmap(
-                    lambda v: jax.jvp(grad_fn, (q,), (v,))[1])(vs)
+                    lambda v: jax.jvp(grad_fn, (qq,), (v,))[1])(vs)
 
             rows = []
             for i in range(0, nph, chunk):
                 n = min(chunk, nph - i)
-                eye_blk = np.zeros((n, nph), dtype)
+                eye_blk = np.zeros((n, nph), np_dt)
                 eye_blk[np.arange(n), i + np.arange(n)] = 1.0
-                rows.append(np.asarray(hvp_block(jnp.asarray(eye_blk))))
+                rows.append(np.asarray(hvp_block(q_h, eye_blk)))
             h = jnp.asarray(np.concatenate(rows, axis=0))
         else:
-            h = jax.hessian(e_of_q)(q)
+            h = jax.hessian(e_of_q)(jnp.asarray(q_h))
         return 0.5 * (h + h.T)
+
+    def quit(self):
+        pass
+
+
+class DriverShell:
+    """Delegation base for JaxDriver specialisations (SW/Tersoff/EAM/
+    CH/Pair drivers): subclasses build their energy function and call
+    ``_attach``; the reference driver protocol then forwards to the
+    wrapped JaxDriver."""
+
+    def _attach(self, energy_fn, axyz, dtype):
+        self._drv = JaxDriver(energy_fn, axyz, dtype=dtype)
+        self.energy_fn = energy_fn
+        for attr in ("axyz", "conv", "xyz", "els", "number", "f0"):
+            setattr(self, attr, getattr(self._drv, attr))
+
+    def force(self, q):
+        return self._drv.force(q)
+
+    def force_jax(self, q):
+        return self._drv.force_jax(q)
+
+    def absforce(self, q):
+        return self._drv.absforce(q)
+
+    def initforce(self):
+        self._drv.initforce()
+        self.f0 = self._drv.f0
+
+    def energy(self, q=None):
+        return self._drv.energy(q)
+
+    def dynmat(self, q=None, **kw):
+        return self._drv.dynmat(q, **kw)
 
     def quit(self):
         pass

@@ -303,24 +303,34 @@ def eam_tabulated_energy(table: dict, types, neighbors, nmask,
     return energy
 
 
-class EAMDriver:
+from sclmd_tpu.models.driver import DriverShell
+
+
+class EAMDriver(DriverShell):
     """Force driver for an EAM metal (JaxDriver specialisation; same
     duck-typed protocol as the reference drivers,
     ref lammpsdriver.py:19-102).
 
     ``setfl``: path to a LAMMPS eam/alloy file (or a read_setfl dict)
     for tabulated multi-element systems; otherwise the analytic
-    Sutton-Chen set for the (single) element is used.
+    Sutton-Chen set for the (single) element is used. ``rcut`` and
+    ``params`` configure the analytic set only — with ``setfl`` the
+    table's own cutoff is authoritative, so combining them is an error
+    rather than a silent ignore.
     """
 
     def __init__(self, axyz, setfl=None, cutoff_skin=0.3, max_nnei=None,
                  cell=None, dtype=jnp.float64, params=None, rcut=None):
-        from sclmd_tpu.models.driver import JaxDriver
         from sclmd_tpu.models.nnp import build_neighbors
 
         els = [a[0] for a in axyz]
         x0 = np.array([a[1:] for a in axyz], dtype=float)
         if setfl is not None:
+            if rcut is not None or params is not None:
+                raise ValueError(
+                    "rcut=/params= apply to the analytic Sutton-Chen "
+                    "path only; the setfl table fixes its own cutoff "
+                    "and functions")
             table = setfl if isinstance(setfl, dict) else read_setfl(setfl)
             missing = sorted(set(els) - set(table["elements"]))
             if missing:
@@ -348,29 +358,4 @@ class EAMDriver:
             efn = sutton_chen_energy(uniq[0], nbr, nmask, cell=cell,
                                      params=p, rcut=rc)
             self.table = None
-        self._drv = JaxDriver(efn, axyz, dtype=dtype)
-        self.energy_fn = efn
-        for attr in ("axyz", "conv", "xyz", "els", "number", "f0"):
-            setattr(self, attr, getattr(self._drv, attr))
-
-    def force(self, q):
-        return self._drv.force(q)
-
-    def force_jax(self, q):
-        return self._drv.force_jax(q)
-
-    def absforce(self, q):
-        return self._drv.absforce(q)
-
-    def initforce(self):
-        self._drv.initforce()
-        self.f0 = self._drv.f0
-
-    def energy(self, q=None):
-        return self._drv.energy(q)
-
-    def dynmat(self, q=None, **kw):
-        return self._drv.dynmat(q, **kw)
-
-    def quit(self):
-        pass
+        self._attach(efn, axyz, dtype)

@@ -33,6 +33,8 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
+from sclmd_tpu.models.driver import DriverShell
+
 # textbook C-H spectroscopic constants (see module docstring)
 CH_MORSE = dict(D=4.3, r0=1.09, alpha=1.885, cutoff=1.9)
 CH_BEND_K = 4.0          # eV/Ang^2 auxiliary-spring stiffness
@@ -98,7 +100,15 @@ def ch_energy(axyz, cell: Optional[np.ndarray] = None,
                 aux.append((h, cadj, rl))
                 adj.append(cadj)
         if len(adj) >= 2:
-            oop.append((h, anchor, adj[0], adj[1]))
+            # skip anchors whose adjacents are (near-)collinear: the
+            # plane normal is undefined there (sp chains) and the
+            # normalised cross product would blow up
+            e1 = disp(anchor, adj[0])
+            e2 = disp(anchor, adj[1])
+            sin2 = np.linalg.norm(np.cross(e1, e2)) / (
+                np.linalg.norm(e1) * np.linalg.norm(e2))
+            if sin2 > 0.1:
+                oop.append((h, anchor, adj[0], adj[1]))
     bonds = np.asarray(bonds, dtype=int).reshape(-1, 2)
 
     e_ch = morse_energy(m["D"], m["alpha"], m["r0"], m["cutoff"] + 1.0,
@@ -127,8 +137,10 @@ def ch_energy(axyz, cell: Optional[np.ndarray] = None,
             e1 = _mic(x[oi[2]] - x[oi[1]])
             e2 = _mic(x[oi[3]] - x[oi[1]])
             nvec = jnp.cross(e1, e2)
-            nhat = nvec / jnp.linalg.norm(nvec, axis=-1,
-                                          keepdims=True)
+            # 1e-6 floor: bonds passing through collinearity during MD
+            # must not divide by ~0 (NaN poisons every force)
+            nhat = nvec / (jnp.linalg.norm(nvec, axis=-1,
+                                           keepdims=True) + 1e-6)
             return 0.5 * k_oop * jnp.sum(
                 jnp.sum(u * nhat, axis=-1) ** 2)
     else:
@@ -184,7 +196,7 @@ def terminate_with_h(axyz, cell=None, bond: float = CH_MORSE["r0"],
     return out
 
 
-class CHDriver:
+class CHDriver(DriverShell):
     """Force driver for hydrogen-terminated carbon junctions
     (JaxDriver specialisation; the reference's structure.data + REBO
     workload, ref examples/runmd.py + lammpsdriver.py force path)."""
@@ -192,36 +204,9 @@ class CHDriver:
     def __init__(self, axyz, cell=None, max_nnei=None, cutoff_skin=0.4,
                  dtype=jnp.float64, morse=None, k_bend=CH_BEND_K,
                  k_oop=CH_OOP_K, tersoff_params=None):
-        from sclmd_tpu.models.driver import JaxDriver
-
         efn, bonds = ch_energy(axyz, cell=cell, max_nnei=max_nnei,
                                cutoff_skin=cutoff_skin, morse=morse,
                                k_bend=k_bend, k_oop=k_oop,
                                tersoff_params=tersoff_params)
         self.ch_bonds = bonds
-        self._drv = JaxDriver(efn, axyz, dtype=dtype)
-        self.energy_fn = efn
-        for attr in ("axyz", "conv", "xyz", "els", "number", "f0"):
-            setattr(self, attr, getattr(self._drv, attr))
-
-    def force(self, q):
-        return self._drv.force(q)
-
-    def force_jax(self, q):
-        return self._drv.force_jax(q)
-
-    def absforce(self, q):
-        return self._drv.absforce(q)
-
-    def initforce(self):
-        self._drv.initforce()
-        self.f0 = self._drv.f0
-
-    def energy(self, q=None):
-        return self._drv.energy(q)
-
-    def dynmat(self, q=None, **kw):
-        return self._drv.dynmat(q, **kw)
-
-    def quit(self):
-        pass
+        self._attach(efn, axyz, dtype)

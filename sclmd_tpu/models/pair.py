@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sclmd_tpu.models.driver import DriverShell
+
 
 def neighbor_pairs(xyz: np.ndarray, cutoff: float, skin: float = 0.3,
                    cell: Optional[np.ndarray] = None):
@@ -65,17 +67,24 @@ def lennard_jones_energy(epsilon, sigma, cutoff, pairs, cell=None,
     return energy
 
 
-def morse_energy(D, alpha, r0, cutoff, pairs, cell=None):
-    """Morse potential energy factory: D (e^{-2a(r-r0)} - 2 e^{-a(r-r0)})."""
+def morse_energy(D, alpha, r0, cutoff, pairs, cell=None, shift=False):
+    """Morse potential energy factory: D (e^{-2a(r-r0)} - 2 e^{-a(r-r0)}).
+
+    ``shift=True`` subtracts e(cutoff) inside the cutoff so the energy
+    is continuous at rc (same convention as the LJ factory) — use it
+    for MD where pairs may cross the cutoff; the raw form is the
+    reference convention for fixed bond lists."""
     i = jnp.asarray(pairs[0])
     j = jnp.asarray(pairs[1])
     cell_j = None if cell is None else jnp.asarray(cell)
+    exc = np.exp(-alpha * (cutoff - r0))
+    eshift = D * (exc ** 2 - 2.0 * exc) if shift else 0.0
 
     def energy(x):
         d = _pair_disp(x, i, j, cell_j)
         r = jnp.sqrt((d ** 2).sum(-1))
         ex = jnp.exp(-alpha * (r - r0))
-        e = D * (ex ** 2 - 2.0 * ex)
+        e = D * (ex ** 2 - 2.0 * ex) - eshift
         return jnp.sum(jnp.where(r < cutoff, e, 0.0))
 
     return energy
@@ -101,7 +110,7 @@ def sum_energies(*fns: Callable) -> Callable:
     return energy
 
 
-class PairDriver:
+class PairDriver(DriverShell):
     """Force driver for a pair-potential system (JaxDriver
     specialisation; the LAMMPS ``pair_style lj/cut`` / ``morse``
     stand-in, same duck-typed protocol as the reference drivers,
@@ -114,8 +123,6 @@ class PairDriver:
     def __init__(self, axyz, kind: str = "lj", params: Optional[dict] = None,
                  cutoff: Optional[float] = None, cell=None, skin: float = 0.3,
                  dtype=jnp.float64):
-        from sclmd_tpu.models.driver import JaxDriver
-
         p = dict(params or {})
         x0 = np.array([a[1:] for a in axyz], dtype=float)
         if kind == "lj":
@@ -130,33 +137,9 @@ class PairDriver:
                 p.get("r0", 1.0)
             rc = cutoff if cutoff is not None else r0 + 2.5 / alpha
             pairs = neighbor_pairs(x0, rc, skin=skin, cell=cell)
-            efn = morse_energy(D, alpha, r0, rc, pairs, cell=cell)
+            efn = morse_energy(D, alpha, r0, rc, pairs, cell=cell,
+                               shift=True)
         else:
             raise ValueError(f"unknown pair kind {kind!r}")
         self.pairs = pairs
-        self._drv = JaxDriver(efn, axyz, dtype=dtype)
-        self.energy_fn = efn
-        for attr in ("axyz", "conv", "xyz", "els", "number", "f0"):
-            setattr(self, attr, getattr(self._drv, attr))
-
-    def force(self, q):
-        return self._drv.force(q)
-
-    def force_jax(self, q):
-        return self._drv.force_jax(q)
-
-    def absforce(self, q):
-        return self._drv.absforce(q)
-
-    def initforce(self):
-        self._drv.initforce()
-        self.f0 = self._drv.f0
-
-    def energy(self, q=None):
-        return self._drv.energy(q)
-
-    def dynmat(self, q=None, **kw):
-        return self._drv.dynmat(q, **kw)
-
-    def quit(self):
-        pass
+        self._attach(efn, axyz, dtype)

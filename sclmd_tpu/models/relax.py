@@ -44,12 +44,13 @@ def fire_relax(energy_fn: Callable, x0, tol: float = 1e-4,
         return -grad_fn(x) * free
 
     def cond(carry):
-        x, v, dt, alpha, npos, it, fmax = carry
-        return (fmax > tol) & (it < maxit)
+        x, v, f, dt, alpha, npos, it = carry
+        return (jnp.abs(f).max() > tol) & (it < maxit)
 
     def body(carry):
-        x, v, dt, alpha, npos, it, _ = carry
-        f = force(x)
+        x, v, f, dt, alpha, npos, it = carry
+        # one force evaluation per iteration: f is carried from the
+        # previous step's post-move evaluation
         p = jnp.vdot(f, v)
         fnorm = jnp.sqrt(jnp.vdot(f, f)) + 1e-30
         vnorm = jnp.sqrt(jnp.vdot(v, v))
@@ -65,17 +66,15 @@ def fire_relax(energy_fn: Callable, x0, tol: float = 1e-4,
         # semi-implicit Euler step
         v = v + dt * f
         x = x + dt * v * free
-        fmax = jnp.abs(force(x)).max()
-        return x, v, dt, alpha, npos, it + 1, fmax
+        return x, v, force(x), dt, alpha, npos, it + 1
 
     @jax.jit
     def run(x):
-        f0 = force(x)
-        carry = (x, jnp.zeros_like(x), jnp.asarray(dt0), jnp.asarray(alpha0),
-                 jnp.asarray(0), jnp.asarray(0), jnp.abs(f0).max())
-        x, v, dt, alpha, npos, it, fmax = jax.lax.while_loop(
+        carry = (x, jnp.zeros_like(x), force(x), jnp.asarray(dt0),
+                 jnp.asarray(alpha0), jnp.asarray(0), jnp.asarray(0))
+        x, v, f, dt, alpha, npos, it = jax.lax.while_loop(
             cond, body, carry)
-        return x, fmax, it
+        return x, jnp.abs(f).max(), it
 
     x, fmax, it = run(jnp.asarray(x0))
     return np.asarray(x).reshape(shape), float(fmax), int(it)
@@ -113,12 +112,16 @@ def lbfgs_relax(energy_fn: Callable, x0, tol: float = 1e-4,
         p, s, it, fmax = c
         return (fmax > tol) & (it < maxit)
 
+    import optax.tree_utils as otu
+
     def body(c):
         p, s, it, _ = c
         v, g = vg(p, state=s)
         updates, s = opt.update(g, s, p, value=v, grad=g, value_fn=fun)
         p = optax.apply_updates(p, updates)
-        fmax = jnp.abs(jax.grad(fun)(p)).max()
+        # the zoom linesearch caches the gradient at the accepted
+        # point — read it instead of paying another full grad eval
+        fmax = jnp.abs(otu.tree_get(s, "grad")).max()
         return p, s, it + 1, fmax
 
     @jax.jit

@@ -127,14 +127,16 @@ def diamond_cell(nx: int, ny: int, nz: int, a0: float = 5.431):
     return np.array(pos), cell
 
 
-class SWDriver:
+from sclmd_tpu.models.driver import DriverShell
+
+
+class SWDriver(DriverShell):
     """Force driver for a Stillinger-Weber system (JaxDriver
     specialisation; same duck-typed protocol as the reference drivers).
     """
 
     def __init__(self, axyz, cutoff_skin=0.4, max_nnei=None, cell=None,
                  element=None, dtype=jnp.float64, params=None):
-        from sclmd_tpu.models.driver import JaxDriver
         from sclmd_tpu.models.nnp import build_neighbors
         els = [a[0] for a in axyz]
         uniq = sorted(set(els))
@@ -153,29 +155,4 @@ class SWDriver:
         nbr, mask = build_neighbors(x0, rcut, max_nnei, cell=cell,
                                     skin=cutoff_skin)
         efn = sw_energy(element, nbr, mask, cell=cell, params=table)
-        self._drv = JaxDriver(efn, axyz, dtype=dtype)
-        self.energy_fn = efn
-        for attr in ("axyz", "conv", "xyz", "els", "number", "f0"):
-            setattr(self, attr, getattr(self._drv, attr))
-
-    def force(self, q):
-        return self._drv.force(q)
-
-    def force_jax(self, q):
-        return self._drv.force_jax(q)
-
-    def absforce(self, q):
-        return self._drv.absforce(q)
-
-    def initforce(self):
-        self._drv.initforce()
-        self.f0 = self._drv.f0
-
-    def energy(self, q=None):
-        return self._drv.energy(q)
-
-    def dynmat(self, q=None, **kw):
-        return self._drv.dynmat(q, **kw)
-
-    def quit(self):
-        pass
+        self._attach(efn, axyz, dtype)

@@ -83,7 +83,7 @@ class MDConfig:
         _check(self.dtype in ("float32", "float64"),
                f"unsupported dtype {self.dtype}")
         _check(self.driver in ("harmonic", "tersoff", "ch", "sw",
-                               "eam", "pair", "native"),
+                               "eam", "pair", "native", "nnp"),
                f"unknown driver kind {self.driver}")
         for b in self.baths:
             b.validate()
@@ -125,6 +125,7 @@ class MDConfig:
             from sclmd_tpu.models.native import NativeDriver as D
             return D(axyz, **kw)
         else:
+            # "nnp" needs trained parameters — construct it yourself
             raise ValueError(f"config cannot build driver "
                              f"{self.driver!r}; pass driver_obj=")
         return D(axyz, dtype=dtype, **kw)
@@ -149,9 +150,12 @@ class MDConfig:
             if axyz is None:
                 raise ValueError("config driver needs axyz")
             driver_obj = self._build_driver(axyz, dtype)
-        if dyn is None and driver_obj is not None \
-                and hasattr(driver_obj, "dynmat"):
-            dyn = np.asarray(driver_obj.dynmat())
+            # derive dyn ONLY for config-built drivers: an explicitly
+            # passed driver_obj with dyn=None may mean a deliberate
+            # zero-velocity anharmonic start, and a surprise full
+            # Hessian is expensive
+            if dyn is None:
+                dyn = np.asarray(driver_obj.dynmat())
         runner = md(self.dt, self.nmd, self.T, axyz=axyz, dyn=dyn,
                     nstart=self.nstart, nstop=self.nstop, npie=self.npie,
                     dtype=dtype, seed=self.seed, outdir=self.outdir,

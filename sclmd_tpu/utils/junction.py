@@ -69,17 +69,17 @@ def relax_for_model(axyz, make_driver, fixed_atoms=None, tol: float = 5e-3,
     mask = np.zeros(x.shape, bool)
     if fixed_atoms is not None:
         mask[np.asarray(fixed_atoms, int)] = True
-    # float32 processes (the examples' MD dtype) stall near fmax ~ 0.1
-    # eV/Ang: linesearch energy differences fall below f32 resolution
-    # of a ~keV total energy. Relax in f64 on CPU regardless of the
-    # session dtype; the MD hot loop keeps its own dtype.
-    use64 = (jax.devices()[0].platform == "cpu"
-             and not jax.config.jax_enable_x64)
-    ctx = (jax.enable_x64(True) if use64
-           else contextlib.nullcontext())
+    # float32 stalls near fmax ~ 0.1 eV/Ang: linesearch energy
+    # differences fall below f32 resolution of a ~keV total energy.
+    # Relaxation is setup-time work, so ALWAYS run it on the host CPU
+    # backend in f64 — also when the session's default platform is the
+    # TPU (whose f64 is truncated); the MD hot loop keeps its own
+    # device and dtype.
+    ctx64 = (contextlib.nullcontext() if jax.config.jax_enable_x64
+             else jax.enable_x64(True))
     out = list(axyz)
     fmax, nit = np.inf, 0
-    with ctx:
+    with jax.default_device(jax.local_devices(backend="cpu")[0]), ctx64:
         for _ in range(max(1, iters)):
             drv = make_driver(out)
             x, fmax, nit = relaxer(drv.energy_fn, x, tol=tol,

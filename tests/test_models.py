@@ -75,9 +75,15 @@ class TestPairPotentials:
 
     def test_pair_driver_morse_and_rejects(self):
         axyz = [["Cu", 0.0, 0.0, 0.0], ["Cu", 2.0, 0.0, 0.0]]
+        D, alpha, r0 = 0.4, 1.4, 2.0
         drv = P.PairDriver(axyz, kind="morse",
-                           params=dict(D=0.4, alpha=1.4, r0=2.0))
-        assert abs(float(drv.energy()) + 0.4) < 1e-8
+                           params=dict(D=D, alpha=alpha, r0=r0))
+        # PairDriver uses the cutoff-shifted convention (continuous
+        # at rc): e(r0) = -D - e_raw(rc)
+        rc = r0 + 2.5 / alpha
+        exc = np.exp(-alpha * (rc - r0))
+        eshift = D * (exc ** 2 - 2.0 * exc)
+        assert abs(float(drv.energy()) - (-D - eshift)) < 1e-8
         import pytest as _pytest
         with _pytest.raises(ValueError):
             P.PairDriver(axyz, kind="buckingham")
