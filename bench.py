@@ -221,12 +221,63 @@ def config5(jax, jnp):
             "ntraj": ntraj, "atoms": natoms}
 
 
+def flagship(jax, jnp):
+    """The reference's own headline workload: its 201-atom C/H
+    structure.data junction (ref examples/runmd.py, 12.5 steps/s on
+    CPU) as a vmapped ensemble with full many-body CHDriver forces
+    inside the scan. Relaxation + Hessian are setup; the timed part is
+    RunEnsemble (which includes per-run device-side noise synthesis).
+    """
+    import os
+    import tempfile
+
+    data = "/root/reference/examples/structure.data"
+    if not os.path.exists(data):
+        return None
+    from sclmd_tpu import baths as B
+    from sclmd_tpu.md import md as MDRunner
+    from sclmd_tpu.models.hydrocarbon import CHDriver
+    from sclmd_tpu.utils.io import read_lammps_data
+    from sclmd_tpu.utils.junction import (partition_by_axis,
+                                          relax_for_model)
+
+    axyz = read_lammps_data(data)["axyz"]
+    part = partition_by_axis(axyz)
+    axyz, _, _ = relax_for_model(axyz, CHDriver, part["fixed_atoms"])
+    drv = CHDriver(axyz, dtype=jnp.float32)
+
+    ntraj, nmd = 128, 1024
+    T, delta, dt = 300.0, 0.1, 0.25 / 0.658
+    tmp = tempfile.mkdtemp(prefix="bench_flagship_")
+    runner = MDRunner(dt, nmd, T, axyz=axyz,
+                      dyn=np.asarray(drv.dynmat()), dtype=jnp.float32,
+                      outdir=tmp)
+    runner.AddPotential(drv)
+    damp = 100 / 0.658211814201041
+    for cats, tt in ((part["ecatsl"], T * (1 + delta / 2)),
+                     (part["ecatsr"], T * (1 - delta / 2))):
+        eta = (1.0 / damp) * np.identity(len(cats))
+        runner.AddBath(B.ebath(cats, tt, runner.dt, runner.nmd,
+                               wmax=1.0, nw=500, efric=eta))
+    runner.AddConstr([part["fixdofs"]])
+
+    runner.RunEnsemble(ntraj, nsteps=nmd)          # compile
+    t_med, _ = _timed(lambda: runner.RunEnsemble(ntraj, nsteps=nmd),
+                      reps=3)
+    return {"tsps": round(ntraj * nmd / t_med, 1), "ntraj": ntraj,
+            "atoms": len(axyz)}
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     p = primary(jax, jnp)
     c5 = config5(jax, jnp)
+    try:
+        fs = flagship(jax, jnp)
+    except Exception:
+        fs = None
 
     best_ens = max(p["ens"].values())
     result = {
@@ -248,6 +299,12 @@ def main():
         "config5_ntraj": c5["ntraj"],
         "config5_atoms": c5["atoms"],
         "config5_finite": c5["finite"],
+        "flagship_structure_data_traj_steps_per_sec":
+            None if fs is None else fs["tsps"],
+        "flagship_ntraj": None if fs is None else fs["ntraj"],
+        "flagship_vs_reference_12p5":
+            None if fs is None
+            else round(fs["tsps"] / BASELINE_STEPS_PER_SEC, 1),
         "finite": p["finite"],
         "J_left": p["J_left"],
         "J_right": p["J_right"],

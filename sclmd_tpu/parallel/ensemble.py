@@ -71,6 +71,17 @@ def _system_axes(system: GLESystem):
         b.replace(noise=0) for b in axes.baths))
 
 
+@partial(jax.jit, static_argnames=("nsteps", "t0", "block"))
+def _ensemble_segment(system: GLESystem, states: MDState, nsteps: int,
+                      t0: int, block: Optional[int]):
+    if block is None:
+        fn = partial(run_segment, nsteps=nsteps, t0=t0)
+    else:
+        fn = partial(run_segment_blocked, nsteps=nsteps, t0=t0,
+                     block=block)
+    return jax.vmap(fn, in_axes=(_system_axes(system), 0))(system, states)
+
+
 def ensemble_run(system: GLESystem, states: MDState, nsteps: int,
                  t0: int = 0, block: Optional[int] = None):
     """Run nsteps of GLE MD for the whole batch (one compiled program).
@@ -80,13 +91,14 @@ def ensemble_run(system: GLESystem, states: MDState, nsteps: int,
     ``block``: use the blocked-convolution integrator
     (md.run_segment_blocked) with this block size — the fast path for
     long memory kernels; the kernel FFT is shared across the batch.
+
+    The segment is a module-level jit (static nsteps/t0/block), so
+    repeated calls with the same system STRUCTURE hit the trace cache —
+    re-tracing the vmapped integrator on every call cost ~9 s/call on
+    the tunnel for many-body junctions (the flagship workload) before
+    this was cached.
     """
-    if block is None:
-        fn = partial(run_segment, nsteps=nsteps, t0=t0)
-    else:
-        fn = partial(run_segment_blocked, nsteps=nsteps, t0=t0,
-                     block=block)
-    return jax.vmap(fn, in_axes=(_system_axes(system), 0))(system, states)
+    return _ensemble_segment(system, states, nsteps, t0, block)
 
 
 def shard_ensemble(mesh: Mesh, system: GLESystem, states: MDState,
