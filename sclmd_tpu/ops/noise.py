@@ -227,6 +227,34 @@ def sample_noise_prop(key: jax.Array, evec_re, evec_im, std,
     return jnp.real(fourier_w2t(xi, dt, axis=0))
 
 
+@_partial(jax.jit, static_argnames=("dt", "nmd"))
+def _batch_parts(keys, evr, evi, std, dt, nmd):
+    return jax.vmap(lambda k: sample_noise_parts(k, evr, evi, std,
+                                                 dt, nmd))(keys)
+
+
+@_partial(jax.jit, static_argnames=("dt", "nmd"))
+def _batch_prop(keys, evr, evi, std, dt, nmd):
+    return jax.vmap(lambda k: sample_noise_prop(k, evr, evi, std,
+                                                dt, nmd))(keys)
+
+
+def sample_noise_dev_batch(bath, keys: jax.Array) -> jax.Array:
+    """Batched ``sample_noise_dev`` (vmap over keys) through ONE cached
+    module-level jit — per-call re-tracing of the vmapped sampler is
+    measurable on the tunnel for every ensemble noise regeneration."""
+    ev = np.asarray(bath.nevecs)
+    std = np.asarray(bath.nstd)
+    if ev.ndim == 3 and ev.strides[0] == 0:
+        ev0 = np.ascontiguousarray(ev[0])
+        return _batch_prop(keys, np.ascontiguousarray(ev0.real),
+                           np.ascontiguousarray(ev0.imag), std,
+                           float(bath.dt), int(bath.nmd))
+    return _batch_parts(keys, np.ascontiguousarray(ev.real),
+                        np.ascontiguousarray(ev.imag), std,
+                        float(bath.dt), int(bath.nmd))
+
+
 def sample_noise_dev(bath, key: jax.Array) -> jax.Array:
     """Device-side noise sampling from a bath's host-precomputed factors.
 

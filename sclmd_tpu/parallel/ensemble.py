@@ -42,12 +42,21 @@ def make_mesh(axis_sizes: dict[str, int],
 
 
 def ensemble_noise(system: GLESystem, key: jax.Array, n: int) -> GLESystem:
-    """Attach n independent noise series per bath (leading batch axis)."""
+    """Attach n independent noise series per bath (leading batch axis).
+
+    Baths carrying PSD factors sample through the cached batched jit
+    (identical statistics to per-key ``gnoi``, no per-call re-trace);
+    factorless baths fall back to the vmapped all-jnp synthesis."""
+    from sclmd_tpu.ops.noise import sample_noise_dev_batch
+
     new_baths = []
     for i, b in enumerate(system.baths):
         bkeys = jax.random.fold_in(key, i)
         keys = jax.random.split(bkeys, n)
-        noise = jax.vmap(lambda k: b.gnoi(k).noise)(keys)
+        if getattr(b, "nstd", None) is not None:
+            noise = sample_noise_dev_batch(b, keys)
+        else:
+            noise = jax.vmap(lambda k: b.gnoi(k).noise)(keys)
         # drop the (complex) PSD factors from the hot-loop pytree
         new_baths.append(b.replace(noise=noise, nevecs=None, nstd=None))
     return system.replace(baths=tuple(new_baths))
