@@ -210,6 +210,13 @@ def vv_step(system: GLESystem, state: MDState, noise_rows=None):
     return new_state, out
 
 
+@partial(jax.jit, static_argnames=("lo",))
+def _cur_reduce(cur, lo: int):
+    """Equilibration-skipped per-trajectory current sum + global
+    finiteness, reduced on device (RunEnsemble post-processing)."""
+    return cur[:, lo:, :].sum(axis=1), jnp.isfinite(cur).all()
+
+
 @partial(jax.jit, static_argnames=("nsteps", "t0"))
 def run_segment(system: GLESystem, state: MDState, nsteps: int,
                 t0: int = 0):
@@ -951,14 +958,16 @@ class md:
             finals, ys = ensemble_run(bsys, finals, seg,
                                       t0=(i * seg) % self.nmd,
                                       block=block)
-            cur = np.asarray(jax.device_get(ys["cur"]))
-            if not np.isfinite(cur).all():
+            lo = max(0, skip - i * seg)
+            # reduce on device: only (ntraj, nb) + a scalar cross the
+            # (slow) host link instead of the full per-step history
+            seg_sum, ok = _cur_reduce(ys["cur"], min(lo, seg))
+            if not bool(np.asarray(ok)):
                 raise FloatingPointError(
                     "RunEnsemble: non-finite heat currents in segment "
                     f"{i} — reduce dt or check the force driver")
-            lo = max(0, skip - i * seg)
             if lo < seg:
-                cur_sum += cur[:, lo:, :].sum(axis=1)
+                cur_sum += np.asarray(seg_sum)
                 cur_cnt += seg - lo
             if checkpoint:
                 data = {
