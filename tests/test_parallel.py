@@ -127,3 +127,40 @@ def test_sharded_blocked_matches_unsharded(key, tp):
                                rtol=1e-10)
     np.testing.assert_allclose(np.asarray(ys_sh["cur"]),
                                np.asarray(ys_ref["cur"]), rtol=1e-10)
+
+
+def test_sharded_manybody_force_matches_unsharded(key):
+    """A many-body (CHDriver) force inside the vmapped integrator
+    partitions over a dp mesh with bit-identical results — the
+    flagship-class workload's multi-chip path."""
+    from sclmd_tpu import baths as B
+    from sclmd_tpu.md import GLESystem
+    from tests.test_hydrocarbon import benzene
+    from sclmd_tpu.models.hydrocarbon import CHDriver
+
+    axyz = benzene()
+    drv = CHDriver(axyz)
+    nph = 3 * len(axyz)
+    dt, nmd = 0.4, 32
+    eta = np.eye(6) / 80.0
+    ebl = B.ebath(range(6), 330.0, dt, nmd, wmax=1.0, efric=eta,
+                  dtype=jnp.float64)
+    ebr = B.ebath(range(nph - 6, nph), 270.0, dt, nmd, wmax=1.0,
+                  efric=eta, dtype=jnp.float64)
+    system = GLESystem(dyn=None, baths=(ebl, ebr),
+                       mask=jnp.ones(nph, jnp.float64), dt=dt, nph=nph,
+                       ml=1, nmd=nmd, force_fn=drv.force_jax)
+    n = 8
+    bsys = ensemble_noise(system, key, n)
+    states = ensemble_states(bsys, n, dtype=jnp.float64)
+    f_ref, ys_ref = ensemble_run(bsys, states, 16)
+    mesh = make_mesh({"dp": 8})
+    ssys, sstates = shard_ensemble(mesh, bsys, states, dp="dp")
+    with mesh:
+        f_sh, ys_sh = ensemble_run(ssys, sstates, 16)
+    np.testing.assert_allclose(np.asarray(f_sh.p), np.asarray(f_ref.p),
+                               rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ys_sh["cur"]),
+                               np.asarray(ys_ref["cur"]),
+                               rtol=1e-8, atol=1e-12)
+    assert len(f_sh.p.sharding.device_set) == 8
