@@ -272,12 +272,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    p = primary(jax, jnp)
-    c5 = config5(jax, jnp)
+    # flagship FIRST: measured ~23-25k traj-steps/s in a clean process
+    # but systematically ~15k when run after primary's programs (exact
+    # mechanism unidentified — zero live device arrays remain, so
+    # likely allocator/executable residue; ordering sidesteps it)
     try:
         fs = flagship(jax, jnp)
     except Exception:
         fs = None
+    p = primary(jax, jnp)
+    c5 = config5(jax, jnp)
 
     best_ens = max(p["ens"].values())
     result = {

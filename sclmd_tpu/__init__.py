@@ -9,8 +9,9 @@ component map. Public surface:
     sclmd_tpu.baths       ebath / phbath quantum baths
     sclmd_tpu.negf        bpt ballistic phonon transport
     sclmd_tpu.selfenergy  sig decimation lead self-energies
-    sclmd_tpu.models      force drivers (harmonic, pair, Tersoff, SW, NNP,
-                          native C++, fsiesta)
+    sclmd_tpu.models      force drivers (harmonic, pair, Tersoff, C/H
+                          hydrocarbon, SW, EAM, NNP, native C++,
+                          fsiesta) + FIRE/L-BFGS relaxation
     sclmd_tpu.parallel    vmapped/sharded trajectory ensembles
     sclmd_tpu.utils       analysis tools, IO, config, profiling
     sclmd_tpu.postprocess Lambda + HSSigma current-induced pipelines
