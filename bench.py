@@ -278,7 +278,11 @@ def main():
     # likely allocator/executable residue; ordering sidesteps it)
     try:
         fs = flagship(jax, jnp)
-    except Exception:
+    except Exception as e:          # noqa: BLE001 — keep the bench alive
+        import sys
+        import traceback
+        print(f"flagship bench section failed: {e!r}", file=sys.stderr)
+        traceback.print_exc()
         fs = None
     p = primary(jax, jnp)
     c5 = config5(jax, jnp)

@@ -152,14 +152,18 @@ class DriverShell:
     ``_attach``; the reference driver protocol then forwards to the
     wrapped JaxDriver."""
 
-    def _attach(self, energy_fn, axyz, dtype):
-        self._drv = JaxDriver(energy_fn, axyz, dtype=dtype)
+    def _attach(self, energy_fn, axyz, dtype, md2ang=U.MD2ANG):
+        self._drv = JaxDriver(energy_fn, axyz, md2ang=md2ang,
+                              dtype=dtype)
         self.energy_fn = energy_fn
         for attr in ("axyz", "conv", "xyz", "els", "number", "f0"):
             setattr(self, attr, getattr(self._drv, attr))
 
     def force(self, q):
         return self._drv.force(q)
+
+    def newx(self, q):
+        return self._drv.newx(q)
 
     def force_jax(self, q):
         return self._drv.force_jax(q)

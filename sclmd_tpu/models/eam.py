@@ -31,6 +31,8 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
+from sclmd_tpu.models.driver import DriverShell
+
 # published Sutton-Chen fcc parameter sets (public constants);
 # eps in eV, a = fcc lattice constant in Ang, c dimensionless
 SUTTON_CHEN_PARAMS = {
@@ -301,9 +303,6 @@ def eam_tabulated_energy(table: dict, types, neighbors, nmask,
         return e_pair + e_emb
 
     return energy
-
-
-from sclmd_tpu.models.driver import DriverShell
 
 
 class EAMDriver(DriverShell):

@@ -137,10 +137,14 @@ def ch_energy(axyz, cell: Optional[np.ndarray] = None,
             e1 = _mic(x[oi[2]] - x[oi[1]])
             e2 = _mic(x[oi[3]] - x[oi[1]])
             nvec = jnp.cross(e1, e2)
-            # 1e-6 floor: bonds passing through collinearity during MD
-            # must not divide by ~0 (NaN poisons every force)
-            nhat = nvec / (jnp.linalg.norm(nvec, axis=-1,
-                                           keepdims=True) + 1e-6)
+            # where-trick: bonds passing through exact collinearity
+            # during MD must not divide by 0 — and the GRADIENT of a
+            # norm at the zero vector is 0/0, so the guard must sit
+            # inside the sqrt argument, not be an additive floor
+            n2 = jnp.sum(nvec * nvec, axis=-1, keepdims=True)
+            ok = n2 > 1e-12
+            nhat = jnp.where(
+                ok, nvec / jnp.sqrt(jnp.where(ok, n2, 1.0)), 0.0)
             return 0.5 * k_oop * jnp.sum(
                 jnp.sum(u * nhat, axis=-1) ** 2)
     else:

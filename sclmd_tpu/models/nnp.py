@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sclmd_tpu.models.driver import DriverShell
+
 
 # ---------------------------------------------------------------------------
 # neighbor lists (static, padded)
@@ -249,7 +251,7 @@ class DeepPotSE:
         return self.params
 
 
-class deepmddriver:
+class deepmddriver(DriverShell):
     """Reference-compatible NN-potential force driver
     (deepmddriver.py:11-75): same protocol (.axyz/.conv/.f0/.force/
     .energy), but the model evaluates inside the jitted MD step.
@@ -272,33 +274,8 @@ class deepmddriver:
         untrained network — call refresh() (or construct the driver)
         AFTER training.
         """
-        from sclmd_tpu.models.driver import JaxDriver
-        self._drv = JaxDriver(self.model.energy_fn(), self._axyz,
-                              md2ang=self._md2ang, dtype=self._dtype)
-        for attr in ("axyz", "conv", "xyz", "els", "number", "f0"):
-            setattr(self, attr, getattr(self._drv, attr))
-
-    def force(self, q):
-        return self._drv.force(q)
-
-    def force_jax(self, q):
-        return self._drv.force_jax(q)
-
-    def absforce(self, q):
-        return self._drv.absforce(q)
-
-    def newx(self, q):
-        return self._drv.newx(q)
-
-    def initforce(self):
-        self._drv.initforce()
-        self.f0 = self._drv.f0
-
-    def energy(self, q=None):
-        return self._drv.energy(q)
-
-    def dynmat(self, q=None, **kw):
-        return self._drv.dynmat(q, **kw)
+        self._attach(self.model.energy_fn(), self._axyz, self._dtype,
+                     md2ang=self._md2ang)
 
     # -- reference-named launchers (deepmddriver.py:16-56) ------------
     def dpstart(self, path):

@@ -25,6 +25,8 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
+from sclmd_tpu.models.driver import DriverShell
+
 # published parameter sets (public constants); energies eV, lengths Ang
 SW_PARAMS = {
     "Si": dict(eps=2.1683, sigma=2.0951, a=1.80, lam=21.0, gam=1.20,
@@ -125,9 +127,6 @@ def diamond_cell(nx: int, ny: int, nz: int, a0: float = 5.431):
                 pos.extend(basis + off)
     cell = np.array([nx, ny, nz], dtype=float) * a0
     return np.array(pos), cell
-
-
-from sclmd_tpu.models.driver import DriverShell
 
 
 class SWDriver(DriverShell):

@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sclmd_tpu.models.driver import DriverShell
+
 # Tersoff (1989) single-element parameter sets (public constants).
 TERSOFF_PARAMS = {
     "C": dict(A=1393.6, B=346.74, lam1=3.4879, lam2=2.2119, lam3=0.0,
@@ -237,9 +239,6 @@ def graphene_ribbon(nx: int, ny: int, a: float = 1.42):
             pos.append([x0, y0, 0.0])
             pos.append([x0 + a * 0.5, y0 + dy / 2, 0.0])
     return np.array(pos)
-
-
-from sclmd_tpu.models.driver import DriverShell
 
 
 class TersoffDriver(DriverShell):

@@ -66,7 +66,9 @@ class MDConfig:
     npie: int = 1
     seed: int = 1234
     dtype: str = "float32"
-    driver: str = "harmonic"  # harmonic|tersoff|ch|sw|eam|pair|native
+    driver: str = "harmonic"
+    # ^ harmonic|tersoff|ch|sw|eam|pair|native, or nnp (accepted for
+    #   saved configs; build needs driver_obj= for it)
     driver_kwargs: dict = field(default_factory=dict)
     constraints: Sequence[Sequence[int]] = field(default_factory=list)
     baths: Sequence[BathConfig] = field(default_factory=list)

@@ -71,15 +71,24 @@ def relax_for_model(axyz, make_driver, fixed_atoms=None, tol: float = 5e-3,
         mask[np.asarray(fixed_atoms, int)] = True
     # float32 stalls near fmax ~ 0.1 eV/Ang: linesearch energy
     # differences fall below f32 resolution of a ~keV total energy.
-    # Relaxation is setup-time work, so ALWAYS run it on the host CPU
-    # backend in f64 — also when the session's default platform is the
-    # TPU (whose f64 is truncated); the MD hot loop keeps its own
-    # device and dtype.
-    ctx64 = (contextlib.nullcontext() if jax.config.jax_enable_x64
-             else jax.enable_x64(True))
+    # Relaxation is setup-time work, so run it on the host CPU backend
+    # in f64 — also when the session's DEFAULT platform is the TPU
+    # (whose f64 is truncated); the MD hot loop keeps its own device
+    # and dtype. When jax_platforms was explicitly RESTRICTED to a
+    # non-CPU backend (select_platform), the cpu backend is
+    # unavailable — fall back to relaxing at native precision there.
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    ctx_dev = (jax.default_device(cpu) if cpu is not None
+               else contextlib.nullcontext())
+    ctx64 = (jax.enable_x64(True)
+             if cpu is not None and not jax.config.jax_enable_x64
+             else contextlib.nullcontext())
     out = list(axyz)
     fmax, nit = np.inf, 0
-    with jax.default_device(jax.local_devices(backend="cpu")[0]), ctx64:
+    with ctx_dev, ctx64:
         for _ in range(max(1, iters)):
             drv = make_driver(out)
             x, fmax, nit = relaxer(drv.energy_fn, x, tol=tol,
