@@ -73,6 +73,16 @@ class TestPairPotentials:
         ev = np.linalg.eigvalsh((d + d.T) / 2)
         assert ev.min() > -1e-8
 
+    def test_driver_shell_newx(self):
+        """DriverShell forwards the reference's newx (cartesian from
+        mass-weighted displacement, lammpsdriver.py:newx)."""
+        axyz = [["Cu", 0.0, 0.0, 0.0], ["Cu", 2.0, 0.0, 0.0]]
+        drv = P.PairDriver(axyz, kind="morse",
+                           params=dict(D=0.4, alpha=1.4, r0=2.0))
+        q = 0.01 * np.arange(6)
+        np.testing.assert_allclose(drv.newx(q),
+                                   drv.xyz + drv.conv * q)
+
     def test_pair_driver_morse_and_rejects(self):
         axyz = [["Cu", 0.0, 0.0, 0.0], ["Cu", 2.0, 0.0, 0.0]]
         D, alpha, r0 = 0.4, 1.4, 2.0
