@@ -54,6 +54,18 @@ def exlist(a, indices):
     return jnp.asarray(a)[jnp.asarray(indices)]
 
 
+
+def _contig_start(cats_np: np.ndarray):
+    """Static start offset if cats is the ascending contiguous range
+    [c0, c0+nc), else None."""
+    if len(cats_np) == 0:
+        return None
+    c0 = int(cats_np[0])
+    if np.array_equal(cats_np, np.arange(c0, c0 + len(cats_np))):
+        return c0
+    return None
+
+
 # ---------------------------------------------------------------------------
 # Electron bath
 # ---------------------------------------------------------------------------
@@ -83,6 +95,31 @@ class EBath:
     # sampling then stays eigh-free on device
     nevecs: Optional[jax.Array] = None
     nstd: Optional[jax.Array] = None
+    # STATIC start offset when cids is the contiguous range
+    # [cs, cs+nc): hot-loop gathers/scatters then lower to static
+    # slices / dynamic-update-slices (large leads: gather+scatter
+    # dominates the vmapped step otherwise)
+    cs: Optional[int] = struct.field(pytree_node=False, default=None)
+
+    @property
+    def cols(self):
+        """Column indexer for the full-DOF axis: a slice when the
+        bath's DOFs are contiguous, else the index array.
+
+        ``cs`` is set by the factories; a later ``replace(cids=...)``
+        cannot update the static field, so when ``cids`` is concrete
+        (eager use) the endpoints are re-checked and a stale ``cs`` is
+        ignored. Under a jit trace the factory invariant is trusted.
+        """
+        if self.cs is None:
+            return self.cids
+        cids = self.cids
+        n = cids.shape[0]
+        if not isinstance(cids, jax.core.Tracer):
+            c = np.asarray(cids)
+            if int(c[0]) != self.cs or int(c[-1]) != self.cs + n - 1:
+                return cids
+        return slice(self.cs, self.cs + n)
 
     # --- reference-compatible attributes ---
     @property
@@ -216,7 +253,8 @@ def ebath(cats, T, dt, nmd, wmax=None, nw=None, bias=0.0,
     (baths.py:76-174): efric/exip/zeta1 are symmetrised, exim/zeta2
     antisymmetrised, shapes validated against ``cats``.
     """
-    cids = jnp.asarray(np.asarray(cats, dtype=np.int32))
+    cats_np = np.asarray(cats, dtype=np.int32)
+    cids = jnp.asarray(cats_np)
     nc = int(cids.shape[0])
     if efric is None:
         raise ValueError("ebath: efric is required (reference sets ebath=False"
@@ -281,6 +319,7 @@ def ebath(cats, T, dt, nmd, wmax=None, nw=None, bias=0.0,
 
     return EBath(
         cids=cids,
+        cs=_contig_start(cats_np),
         efric=_as_f(efric_np, dtype),
         exim=_as_f(exim_np, dtype),
         exip=_as_f(exip_np, dtype),
@@ -370,10 +409,32 @@ class PhBath:
     # table), "G" (Gamma table), "debye" — drives the reference's
     # UseK/UsePi/UseG predicates (baths.py:356-373)
     mode: str = struct.field(pytree_node=False, default="G")
+    # STATIC start offset when cids is contiguous (see EBath.cs)
+    cs: Optional[int] = struct.field(pytree_node=False, default=None)
 
     @property
     def nc(self) -> int:
         return self.cids.shape[0]
+
+    @property
+    def cols(self):
+        """Column indexer for the full-DOF axis: a slice when the
+        bath's DOFs are contiguous, else the index array.
+
+        ``cs`` is set by the factories; a later ``replace(cids=...)``
+        cannot update the static field, so when ``cids`` is concrete
+        (eager use) the endpoints are re-checked and a stale ``cs`` is
+        ignored. Under a jit trace the factory invariant is trusted.
+        """
+        if self.cs is None:
+            return self.cids
+        cids = self.cids
+        n = cids.shape[0]
+        if not isinstance(cids, jax.core.Tracer):
+            c = np.asarray(cids)
+            if int(c[0]) != self.cs or int(c[-1]) != self.cs + n - 1:
+                return cids
+        return slice(self.cs, self.cs + n)
 
     # --- reference mode predicates (baths.py:356-373). The reference
     # keeps raw sig/K00 attributes and tests their presence; here the
@@ -568,7 +629,8 @@ def phbath(T, cats, debye, nw, dt, nmd, ml=None, mcof=2.0,
 
     The returned bath already carries its time-domain kernel (``gmem``).
     """
-    cids = jnp.asarray(np.asarray(cats, dtype=np.int32))
+    cats_np = np.asarray(cats, dtype=np.int32)
+    cids = jnp.asarray(cats_np)
     nc = int(cids.shape[0])
     wmax = float(mcof * debye)
     local = False
@@ -636,7 +698,8 @@ def phbath(T, cats, debye, nw, dt, nmd, ml=None, mcof=2.0,
 
     kern = jnp.asarray(kern_np, dtype)
     return PhBath(
-        cids=cids, T=_as_f(T, dtype), gamma=_as_f(gamma_np, dtype),
+        cids=cids, cs=_contig_start(cats_np),
+        T=_as_f(T, dtype), gamma=_as_f(gamma_np, dtype),
         gwl=_as_f(gwl_np, dtype),
         kernel=kern,
         noise=None,
@@ -657,11 +720,11 @@ def bforce(bath, noise_row, phis, qhis, nph: int) -> jax.Array:
     ``noise_row`` is the step's noise vector (nc,), streamed from the
     scan xs (see md.run_segment).
     """
-    phis_c = phis[:, bath.cids]
-    qhis_c = qhis[:, bath.cids]
+    phis_c = phis[:, bath.cols]
+    qhis_c = qhis[:, bath.cols]
     if isinstance(bath, PhBath) and bath.ml > 1:
         phis_c = phis_c[: bath.ml]
     f_local = bath.local_force(noise_row,
                                phis_c[:1] if bath.ml == 1 else phis_c,
                                qhis_c[:1])
-    return jnp.zeros((nph,), f_local.dtype).at[bath.cids].set(f_local)
+    return jnp.zeros((nph,), f_local.dtype).at[bath.cols].set(f_local)

@@ -156,16 +156,16 @@ def vv_step(system: GLESystem, state: MDState, noise_rows=None):
     # convolution is HBM-bandwidth-bound by the kernel matrix)
     gathers = []
     for b in system.baths:
-        old_c = state.phis[: b.ml, b.cids]
+        old_c = state.phis[: b.ml, b.cols]
         gathers.append((old_c, b.step_plan(old_c)))
 
     def scatter(b, f_local):
-        return jnp.zeros((system.nph,), f_local.dtype).at[b.cids] \
+        return jnp.zeros((system.nph,), f_local.dtype).at[b.cols] \
             .set(f_local)
 
     pf = system.potential_force(q)
-    fbaths = [scatter(b, b.force_pred(noise_rows[i][0], p[b.cids],
-                                      q[b.cids], gathers[i][0],
+    fbaths = [scatter(b, b.force_pred(noise_rows[i][0], p[b.cols],
+                                      q[b.cols], gathers[i][0],
                                       gathers[i][1]))
               for i, b in enumerate(system.baths)]
     f = pf
@@ -185,7 +185,7 @@ def vv_step(system: GLESystem, state: MDState, noise_rows=None):
         out = pf2
         for i, b in enumerate(system.baths):
             out = out + scatter(b, b.force_corr(
-                noise_rows[i][1], pt[b.cids], qtt[b.cids], p[b.cids],
+                noise_rows[i][1], pt[b.cols], qtt[b.cols], p[b.cols],
                 gathers[i][1]))
         return out
 
@@ -303,7 +303,7 @@ def run_segment_blocked(system: GLESystem, state: MDState, nsteps: int,
                 "kin": b.block_tap_kernel(block),
                 "nfft": nfft,
             })
-            hists.append(state.phis[: b.ml - 1, b.cids])
+            hists.append(state.phis[: b.ml - 1, b.cols])
         else:
             plans.append(None)
             hists.append(None)
@@ -320,7 +320,7 @@ def run_segment_blocked(system: GLESystem, state: MDState, nsteps: int,
     nrow0 = tuple(b.noise[t0] for b in system.baths)
 
     def scatter(b, f_local):
-        return jnp.zeros((nph,), f_local.dtype).at[b.cids].set(f_local)
+        return jnp.zeros((nph,), f_local.dtype).at[b.cols].set(f_local)
 
     free = system.unconstrained
 
@@ -336,7 +336,7 @@ def run_segment_blocked(system: GLESystem, state: MDState, nsteps: int,
         for i, b in enumerate(system.baths):
             n1, op, oc = xs[i]
             n0 = nrows[i]
-            p_c = p[b.cids]
+            p_c = p[b.cols]
             if plans[i] is not None:
                 nc = b.nc
                 z1 = jnp.zeros((1, nc), dtype)
@@ -348,7 +348,7 @@ def run_segment_blocked(system: GLESystem, state: MDState, nsteps: int,
                 fb_local = n0 - conv * dt
                 corr_bases.append(b.kernel[1] @ p_c + tails[:, 1] + oc)
             elif isinstance(b, EBath):
-                fb_local = b._markov_force(n0, p_c, q[b.cids])
+                fb_local = b._markov_force(n0, p_c, q[b.cols])
                 corr_bases.append(None)
             else:  # local phonon bath (ml == 1)
                 fb_local = n0 - b.kernel[0] @ p_c
@@ -368,11 +368,11 @@ def run_segment_blocked(system: GLESystem, state: MDState, nsteps: int,
             out = pf2
             for i, b in enumerate(system.baths):
                 n1 = xs[i][0]
-                pt_c = pt[b.cids]
+                pt_c = pt[b.cols]
                 if plans[i] is not None:
                     fl = n1 - (b.kernel[0] @ pt_c + corr_bases[i]) * dt
                 elif isinstance(b, EBath):
-                    fl = b._markov_force(n1, pt_c, qtt[b.cids])
+                    fl = b._markov_force(n1, pt_c, qtt[b.cols])
                 else:
                     fl = n1 - b.kernel[0] @ pt_c
                 out = out + scatter(b, fl)
@@ -385,7 +385,7 @@ def run_segment_blocked(system: GLESystem, state: MDState, nsteps: int,
         qtt = qtt * system.mask
 
         new_rings = tuple(
-            rpadleft(rings[i], p[b.cids]) if plans[i] is not None else None
+            rpadleft(rings[i], p[b.cols]) if plans[i] is not None else None
             for i, b in enumerate(system.baths))
         out = {"etot": etot, "cur": cur}
         if system.savep:
@@ -450,7 +450,7 @@ def run_segment_blocked(system: GLESystem, state: MDState, nsteps: int,
     phis = jnp.zeros((system.ml, nph), dtype)
     for i, b in enumerate(system.baths):
         if hists_f[i] is not None:
-            phis = phis.at[: b.ml - 1, b.cids].set(hists_f[i])
+            phis = phis.at[: b.ml - 1, b.cols].set(hists_f[i])
     final = MDState(t=state.t + nsteps, p=p, q=q, phis=phis,
                     qhis=qprev[None])
     return final, ys
