@@ -12,12 +12,28 @@ Secondary (BASELINE.md:23, config 5): 1,000 vmapped trajectories on a
 500-atom junction (1500 DOF, 150-DOF leads), noise sampled ON DEVICE
 from host-precomputed PSD factors.
 
-Prints ONE JSON line.
+Flagship: the reference's own 201-atom C/H structure.data junction
+(ref examples/runmd.py — 12.5 steps/s on CPU) with full many-body
+CHDriver forces inside the scan.
+
+Statistical design (round 3): each section runs in its OWN SUBPROCESS
+(fresh XLA allocator/executable state — this removes the r2 ordering
+contamination where flagship measured 8-15k traj-steps/s after
+primary's programs vs 23-25k clean); within a section, compared
+quantities (scan-only vs with-noise-regen) are timed INTERLEAVED
+round-robin so shared-chip drift hits both alike, and the internal
+ordering invariant t(regen) >= t(scan-only) is checked and reported
+(re-measured once with more reps on violation).
+
+Prints ONE JSON line (the merged result).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -43,6 +59,20 @@ def _timed(fn, reps=5):
         ts.append(time.perf_counter() - t0)
     ts.sort()
     return ts[len(ts) // 2], min(ts)
+
+
+def _timed_interleaved(fns: dict, rounds=5):
+    """Round-robin timing of several callables: one rep of each per
+    round, so shared-chip load drift is paired across the compared
+    quantities instead of biasing whichever ran in the quiet block.
+    Returns {name: median_seconds}."""
+    ts = {k: [] for k in fns}
+    for _ in range(rounds):
+        for name, fn in fns.items():
+            t0 = time.perf_counter()
+            _sync(fn())
+            ts[name].append(time.perf_counter() - t0)
+    return {k: sorted(v)[len(v) // 2] for k, v in ts.items()}
 
 
 def primary(jax, jnp):
@@ -81,23 +111,19 @@ def primary(jax, jnp):
                     jnp.isfinite(ys["etot"]).all())
         return f
 
-    # ---- single trajectory, scan-only (noise passed in) ----
+    # ---- single trajectory: scan-only vs with-noise-regeneration,
+    # INTERLEAVED (the r2 bench timed them in separate blocks and the
+    # medians came out impossible — regen "faster" than scan-only) ----
     bl = pbl.gnoi_np(2).replace(nevecs=None, nstd=None)
     br = pbr.gnoi_np(3).replace(nevecs=None, nstd=None)
     f1 = scan_run(64)
     out = _sync(f1(dyn, mask, bl, br))                # compile
     _, jl, jr, finite = out[0], out[1], out[2], out[3]
-    t_med, t_best = _timed(lambda: f1(dyn, mask, bl, br), reps=7)
-    single_sps = nmd / t_med
-    single_best = nmd / t_best
 
-    # ---- same, including per-run noise regeneration (the reference
-    # workflow regenerates noise every run; r1's bench timed the HOST
-    # regeneration, which is why its number undershot the scan-only
-    # claim). The production md.Run path now samples on device from the
-    # host-precomputed PSD factors (baths.gnoi -> sample_noise_dev) —
-    # both that number and the legacy host-numpy regen are reported. ----
     seed = [0]
+
+    def scan_only():
+        return f1(dyn, mask, bl, br)
 
     def regen_dev():
         seed[0] += 1
@@ -108,20 +134,33 @@ def primary(jax, jnp):
             nevecs=None, nstd=None)
         return f1(dyn, mask, bl2, br2)
 
-    _sync(regen_dev())                                  # compile sampler
-    t_med, _ = _timed(regen_dev, reps=3)
-    regen_sps = nmd / t_med
-
     def regen_host():
         seed[0] += 1
         bl2 = pbl.gnoi_np(10 + seed[0]).replace(nevecs=None, nstd=None)
         br2 = pbr.gnoi_np(20 + seed[0]).replace(nevecs=None, nstd=None)
         return f1(dyn, mask, bl2, br2)
 
-    t_med, _ = _timed(regen_host, reps=3)
-    regen_host_sps = nmd / t_med
+    _sync(regen_dev())                                  # compile sampler
+    fns = {"scan": scan_only, "regen": regen_dev, "regen_host": regen_host}
+    med = _timed_interleaved(fns, rounds=5)
+    # internal ordering invariant: regen runs the SAME program plus
+    # noise synthesis, so its time must not be smaller (tolerance for
+    # shared-chip noise); one re-measure with more rounds on violation
+    ordering_ok = (med["regen"] >= 0.95 * med["scan"]
+                   and med["regen_host"] >= 0.95 * med["scan"])
+    if not ordering_ok:
+        med = _timed_interleaved(fns, rounds=9)
+        ordering_ok = (med["regen"] >= 0.95 * med["scan"]
+                       and med["regen_host"] >= 0.95 * med["scan"])
+    single_sps = nmd / med["scan"]
+    regen_sps = nmd / med["regen"]
+    regen_host_sps = nmd / med["regen_host"]
+    _, t_best = _timed(scan_only, reps=2)
+    single_best = nmd / min(t_best, med["scan"])
 
-    # ---- ensembles (blocked, block=256 — measured best on this chip) ----
+    # ---- ensembles (blocked, block=256 — measured best on this chip);
+    # raw vmapped batches with pre-drawn noise, for cross-round
+    # continuity with r1/r2 ----
     from sclmd_tpu.md import run_segment_blocked as rsb
 
     def ens_run(block, ntraj):
@@ -157,9 +196,59 @@ def primary(jax, jnp):
     return {
         "single_sps": single_sps, "single_best_sps": single_best,
         "regen_sps": regen_sps, "regen_host_sps": regen_host_sps,
+        "ordering_ok": bool(ordering_ok),
         "ens": ens, "J_left": float(jl), "J_right": float(jr),
         "finite": bool(finite),
     }
+
+
+def primary_scaling(jax, jnp):
+    """Memory-wall demonstration on the primary workload: end-to-end
+    RunEnsemble (noise synthesis + run + reduction) total throughput
+    through ntraj=1024. Auto-chunking keeps the resident batch bounded,
+    so the 1024-point must hold the 256-point rate instead of the r2
+    collapse (90k -> 24k traj-steps/s) — VERDICT r2 item 2."""
+    import tempfile
+
+    from sclmd_tpu import baths as B
+    from sclmd_tpu.md import md as MDRunner
+    from sclmd_tpu.models.harmonic import chain_dynmat
+
+    natoms, ml, nmd = 100, 1000, 2048
+    nph = 3 * natoms
+    dt, T, delta = 0.25 / 0.658, 300.0, 0.1
+    nc = 90
+    dyn = np.asarray(chain_dynmat(nph, 0.04, dtype=jnp.float32))
+    gwl = np.linspace(0.0, 0.6, 64)
+    gam = np.array([np.eye(nc) * 0.01 * np.exp(-(w / 0.25) ** 2)
+                    for w in gwl])
+
+    def build(outdir):
+        r = MDRunner(dt, nmd, T,
+                     axyz=[["C", 1.4 * i, 0, 0] for i in range(natoms)],
+                     dtype=jnp.float32, outdir=outdir, block=256)
+        r.AddBath(B.phbath(T * (1 + delta / 2), range(nc), 0.3, 128, dt,
+                           nmd, ml=ml, gamma=gam, gwl=gwl,
+                           dtype=jnp.float32))
+        r.AddBath(B.phbath(T * (1 - delta / 2), range(nph - nc, nph),
+                           0.3, 128, dt, nmd, ml=ml, gamma=gam, gwl=gwl,
+                           dtype=jnp.float32))
+        return r
+
+    out = {}
+    for ntraj in (256, 1024):
+        tmp = tempfile.mkdtemp(prefix=f"bench_scale{ntraj}_")
+        runner = build(tmp)
+        from sclmd_tpu.parallel.ensemble import auto_chunk
+        chunk = auto_chunk(runner._build_system(), ntraj, nmd, 256)
+        runner.RunEnsemble(ntraj, nsteps=nmd)            # compile
+        t_med, _ = _timed(lambda: runner.RunEnsemble(ntraj, nsteps=nmd),
+                          reps=2)
+        out[str(ntraj)] = {"tsps": round(ntraj * nmd / t_med, 1),
+                           "chunk": int(chunk)}
+    out["monotone_through_1024"] = (
+        out["1024"]["tsps"] >= 0.85 * out["256"]["tsps"])
+    return out
 
 
 def config5(jax, jnp):
@@ -227,8 +316,9 @@ def flagship(jax, jnp):
     CPU) as a vmapped ensemble with full many-body CHDriver forces
     inside the scan. Relaxation + Hessian are setup; the timed part is
     RunEnsemble (which includes per-run device-side noise synthesis).
+    The 1024-trajectory point runs auto-chunked — the configuration
+    that crashed the TPU worker in r2 when materialized as one batch.
     """
-    import os
     import tempfile
 
     data = "/root/reference/examples/structure.data"
@@ -246,7 +336,7 @@ def flagship(jax, jnp):
     axyz, _, _ = relax_for_model(axyz, CHDriver, part["fixed_atoms"])
     drv = CHDriver(axyz, dtype=jnp.float32)
 
-    ntraj, nmd = 128, 1024
+    nmd = 1024
     T, delta, dt = 300.0, 0.1, 0.25 / 0.658
     tmp = tempfile.mkdtemp(prefix="bench_flagship_")
     runner = MDRunner(dt, nmd, T, axyz=axyz,
@@ -261,61 +351,118 @@ def flagship(jax, jnp):
                                wmax=1.0, nw=500, efric=eta))
     runner.AddConstr([part["fixdofs"]])
 
+    res = {"atoms": len(axyz)}
+    ntraj = 128
     runner.RunEnsemble(ntraj, nsteps=nmd)          # compile
     t_med, _ = _timed(lambda: runner.RunEnsemble(ntraj, nsteps=nmd),
                       reps=3)
-    return {"tsps": round(ntraj * nmd / t_med, 1), "ntraj": ntraj,
-            "atoms": len(axyz)}
+    res["tsps"] = round(ntraj * nmd / t_med, 1)
+    res["ntraj"] = ntraj
+
+    # memory-wall point: 1024 trajectories, auto-chunked
+    from sclmd_tpu.parallel.ensemble import auto_chunk
+    chunk = auto_chunk(runner._build_system(), 1024, nmd, None)
+    runner.RunEnsemble(1024, nsteps=nmd)           # compile chunk batch
+    t_med, _ = _timed(lambda: runner.RunEnsemble(1024, nsteps=nmd),
+                      reps=2)
+    res["tsps_1024"] = round(1024 * nmd / t_med, 1)
+    res["chunk_1024"] = int(chunk)
+    res["monotone_through_1024"] = res["tsps_1024"] >= 0.85 * res["tsps"]
+    return res
+
+
+SECTIONS = ("flagship", "primary", "primary_scaling", "config5")
+
+
+def run_section(name):
+    import jax
+    import jax.numpy as jnp
+    fn = globals()[name]
+    return fn(jax, jnp)
 
 
 def main():
+    # ---- child mode: one section, own process ----
+    if len(sys.argv) > 2 and sys.argv[1] == "--section":
+        name = sys.argv[2]
+        try:
+            out = run_section(name)
+        except Exception as e:      # noqa: BLE001 — keep the bench alive
+            import traceback
+            traceback.print_exc()
+            print("SECTION_JSON:" + json.dumps({"error": repr(e)}))
+            return
+        print("SECTION_JSON:" + json.dumps(out))
+        return
+
+    # ---- parent: each section in its own subprocess (fresh XLA
+    # allocator/executable state; removes cross-section contamination —
+    # r2 measured flagship 8-15k after primary vs 23-25k clean) ----
+    results = {}
+    for name in SECTIONS:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--section",
+             name],
+            capture_output=True, text=True, timeout=7200)
+        out = None
+        for line in r.stdout.splitlines():
+            if line.startswith("SECTION_JSON:"):
+                out = json.loads(line[len("SECTION_JSON:"):])
+        if out is None:
+            sys.stderr.write(f"section {name} produced no result "
+                             f"(rc={r.returncode}):\n{r.stderr[-2000:]}\n")
+        results[name] = out
+
     import jax
-    import jax.numpy as jnp
+    p = results.get("primary") or {}
+    fs = results.get("flagship")
+    c5 = results.get("config5") or {}
+    sc = results.get("primary_scaling") or {}
+    fs = fs if fs and "error" not in fs else None
 
-    # flagship FIRST: measured ~23-25k traj-steps/s in a clean process
-    # but systematically ~15k when run after primary's programs (exact
-    # mechanism unidentified — zero live device arrays remain, so
-    # likely allocator/executable residue; ordering sidesteps it)
-    try:
-        fs = flagship(jax, jnp)
-    except Exception as e:          # noqa: BLE001 — keep the bench alive
-        import sys
-        import traceback
-        print(f"flagship bench section failed: {e!r}", file=sys.stderr)
-        traceback.print_exc()
-        fs = None
-    p = primary(jax, jnp)
-    c5 = config5(jax, jnp)
-
-    best_ens = max(p["ens"].values())
+    ens = p.get("ens", {})
+    best_ens = max(ens.values()) if ens else None
+    single_sps = p.get("single_sps", 0.0)
     result = {
         "metric": "GLE steps/sec (100-atom junction, 1000-tap kernel, "
                   "blocked integrator, scan-only)",
-        "value": round(p["single_sps"], 1),
+        "value": round(single_sps, 1),
         "unit": "steps/s",
-        "vs_baseline": round(p["single_sps"] / BASELINE_STEPS_PER_SEC, 1),
-        "single_best_steps_per_sec": round(p["single_best_sps"], 1),
-        "with_noise_regen_steps_per_sec": round(p["regen_sps"], 1),
-        "with_host_noise_regen_steps_per_sec": round(p["regen_host_sps"], 1),
-        "timing": "median over repeated runs (shared chip, +-40% "
-                  "single-shot variance)",
+        "vs_baseline": round(single_sps / BASELINE_STEPS_PER_SEC, 1),
+        "single_best_steps_per_sec": round(p.get("single_best_sps", 0.0),
+                                           1),
+        "with_noise_regen_steps_per_sec": round(p.get("regen_sps", 0.0),
+                                                1),
+        "with_host_noise_regen_steps_per_sec":
+            round(p.get("regen_host_sps", 0.0), 1),
+        "ordering_ok_scan_le_regen": p.get("ordering_ok"),
+        "timing": "per-section subprocesses; interleaved reps; medians "
+                  "(shared chip, +-40% single-shot variance)",
         "ensemble_traj_steps_per_sec": best_ens,
         "ensemble_block": 256,
-        "ensemble_scaling": {str(k): v for k, v in p["ens"].items()},
-        "ensemble_vs_baseline": round(best_ens / BASELINE_STEPS_PER_SEC, 1),
-        "config5_traj_steps_per_sec": c5["tsps"],
-        "config5_ntraj": c5["ntraj"],
-        "config5_atoms": c5["atoms"],
-        "config5_finite": c5["finite"],
+        "ensemble_scaling": {str(k): v for k, v in ens.items()},
+        "ensemble_vs_baseline":
+            None if best_ens is None
+            else round(best_ens / BASELINE_STEPS_PER_SEC, 1),
+        "ensemble_e2e_scaling": sc,
+        "config5_traj_steps_per_sec": c5.get("tsps"),
+        "config5_ntraj": c5.get("ntraj"),
+        "config5_atoms": c5.get("atoms"),
+        "config5_finite": c5.get("finite"),
         "flagship_structure_data_traj_steps_per_sec":
             None if fs is None else fs["tsps"],
         "flagship_ntraj": None if fs is None else fs["ntraj"],
+        "flagship_traj_steps_per_sec_1024":
+            None if fs is None else fs.get("tsps_1024"),
+        "flagship_chunk_1024": None if fs is None else fs.get("chunk_1024"),
+        "flagship_monotone_through_1024":
+            None if fs is None else fs.get("monotone_through_1024"),
         "flagship_vs_reference_12p5":
             None if fs is None
             else round(fs["tsps"] / BASELINE_STEPS_PER_SEC, 1),
-        "finite": p["finite"],
-        "J_left": p["J_left"],
-        "J_right": p["J_right"],
+        "finite": p.get("finite"),
+        "J_left": p.get("J_left"),
+        "J_right": p.get("J_right"),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -7,8 +7,10 @@ the Lambda pipeline (the reference reads a precomputed
 grapheneLambda nc file; here the full pipeline runs first on a model
 electronic structure, writing + reading the same bundle).
 
-Run:  python examples/current_induced/rundp.py
+Run:  python examples/current_induced/rundp.py [--quick]
 """
+
+import sys
 
 import numpy as np
 import jax.numpy as jnp
@@ -26,6 +28,7 @@ from sclmd_tpu.utils.platform import select_platform
 select_platform()
 
 
+quick = "--quick" in sys.argv
 rng = np.random.default_rng(42)
 
 # --- stage 1: Lambda pipeline on a model device electronic structure ----
@@ -59,9 +62,10 @@ nph = 3 * na
 dyn = np.asarray(chain_dynmat(nph, 0.04))
 axyz = [["C", 1.4 * i, 0.0, 0.0] for i in range(na)]
 T, bias = 300.0, 0.5
-dt, nmd = 0.5 / 0.658, 2 ** 11
+dt, nmd = 0.5 / 0.658, 2 ** (9 if quick else 11)
 
-runner = md(dt, nmd, T, axyz=axyz, dyn=dyn, nstop=2, dtype=jnp.float64)
+runner = md(dt, nmd, T, axyz=axyz, dyn=dyn, nstop=1 if quick else 2,
+            dtype=jnp.float64)
 damp = 100 / 0.658211814201041
 nlead = 18
 etal = (1.0 / damp) * np.identity(nlead)
@@ -82,6 +86,6 @@ runner.AddBath(B.ebath(center, T, dt, nmd, wmax=2.0, nw=1000, bias=bias,
 runner.noranvel()
 runner.Run()
 
-calHF(dlist=1, bathnum=3)
+calHF(dlist=0 if quick else 1, bathnum=3)
 print("heat flux per bath written; bias wind force active on",
       len(center), "center DOFs")

@@ -771,8 +771,18 @@ class md:
                         phis=jnp.asarray(ck["phis"], self.dtype),
                         qhis=jnp.asarray(ck["qhis"], self.dtype))
                     for i in range(len(self.baths)):
-                        self.baths[i] = self.baths[i].replace(
-                            noise=jnp.asarray(ck[f"noise{i}"]))
+                        # dump() writes noise{i} only when the bath had
+                        # noise attached; a checkpoint written without it
+                        # (e.g. by a direct dump() call before gnoi) must
+                        # not KeyError — sample fresh noise for that bath
+                        # instead (resume is then reproducible only for
+                        # the baths whose noise was persisted)
+                        if f"noise{i}" in ck:
+                            self.baths[i] = self.baths[i].replace(
+                                noise=jnp.asarray(ck[f"noise{i}"]))
+                        else:
+                            self.baths[i] = self.baths[i].gnoi(
+                                self._next_key())
                     for k in ("etot", "cur", "ps", "qs", "fbaths", "f"):
                         if k in ck:
                             collected[k] = [np.asarray(ck[k])]
@@ -876,24 +886,38 @@ class md:
 
     def RunEnsemble(self, ntraj: int, nsteps: Optional[int] = None,
                     equil_frac: float = 0.25, block: Optional[int] = None,
-                    npie: Optional[int] = None, checkpoint: bool = False):
-        """Run ``ntraj`` independent trajectories as ONE vmapped program.
+                    npie: Optional[int] = None, checkpoint: bool = False,
+                    chunk: Optional[int] = None):
+        """Run ``ntraj`` independent trajectories as vmapped programs.
 
         The reference executes its ensemble sequentially (the
         nstart..nstop loop, md.py:506); here every trajectory gets its
-        own colored noise and the whole batch is a single compiled
-        scan. Writes the same kappa.T.bathI.runJ.dat files, so
-        calHF/calTC aggregate unchanged. Returns the per-trajectory
-        mean bath currents (ntraj, nbaths).
+        own colored noise and the batch is a compiled scan. Writes the
+        same kappa.T.bathI.runJ.dat files, so calHF/calTC aggregate
+        unchanged. Returns the per-trajectory mean bath currents
+        (ntraj, nbaths).
 
-        ``npie`` splits the run into segments (like Run's npie);
-        ``checkpoint=True`` dumps an MDE.npz bundle (batched state +
-        per-trajectory noise + accumulated currents) after every
-        segment and resumes from it — the production-ensemble analog of
-        the MD{j} resume semantics (md.py:511-567), with the same
-        noise-persistence reproducibility guarantee.
+        ``chunk`` bounds how many trajectories are resident at once:
+        the batch runs as ceil(ntraj/chunk) sequential vmapped chunks,
+        each synthesizing only its own (chunk, nmd, nc) noise — the fix
+        for the ensemble memory wall (the full flagship/primary batch
+        at ntraj=1024 spilled HBM or crashed the worker; SURVEY.md hard
+        part: "noise arrays ... must stream from HBM or be regenerated
+        in chunks"). Default: auto-sized from a per-trajectory HBM
+        estimate (parallel.ensemble.auto_chunk, SCLMD_HBM_BUDGET_GB).
+        The per-trajectory key schedule depends only on the trajectory
+        index, so results are BITWISE independent of the chunking.
+
+        ``npie`` splits each chunk's run into segments (like Run's
+        npie); ``checkpoint=True`` dumps an MDE.npz bundle (current
+        chunk's batched state + noise + globally accumulated currents)
+        after every segment and resumes from it — the
+        production-ensemble analog of the MD{j} resume semantics
+        (md.py:511-567), with the same noise-persistence
+        reproducibility guarantee.
         """
-        from sclmd_tpu.parallel.ensemble import (ensemble_noise,
+        from sclmd_tpu.parallel.ensemble import (auto_chunk,
+                                                 ensemble_noise,
                                                  ensemble_run,
                                                  ensemble_states)
         nsteps = nsteps or self.nmd
@@ -906,83 +930,132 @@ class md:
         nb = len(self.baths)
         skip = int(nsteps * equil_frac)
 
-        ipie0 = -1
+        block = block if block is not None else self.block
+        if block and seg % block:
+            block = None
+        if chunk is None:
+            chunk = auto_chunk(system, ntraj, nsteps, block)
+        chunk = max(1, min(int(chunk), ntraj))
+
+        # one noise key + one init key for the WHOLE ensemble, consumed
+        # window-wise per chunk (bitwise chunking invariance); both are
+        # persisted in the checkpoint so chunks AFTER a resumed one draw
+        # the same noise/initial conditions regardless of the resuming
+        # runner's seed (the chunked analog of noise persistence)
+        noise_key = self._next_key()
+        thermal = self.dyn is not None and self.initranvel
+        init_key = self._next_key() if thermal else None
+        # sample with the PSD factors present so gnoi takes the device
+        # path (sample_noise_dev — tunnel-safe, vmappable);
+        # _build_system strips the factors, and ensemble_noise strips
+        # them again from what it returns
+        baths_f = tuple(b if b.nstd is not None else b.prepare_noise()
+                        for b in self.baths)
+        sys_f = system.replace(baths=baths_f)
+
+        ichunk0, ipie0 = 0, -1
         cur_sum = np.zeros((ntraj, nb))
-        cur_cnt = 0
+        # counted steps per trajectory — identical for every chunk, so
+        # it is a pure function of the segment schedule (NOT accumulated:
+        # resume at a later chunk must not re-count)
+        cur_cnt = sum(seg - min(max(0, skip - i * seg), seg)
+                      for i in range(npie))
+        ck_state, ck_bsys = None, None
         fn = self._eck_file()
         if checkpoint and os.path.isfile(fn):
             ck = np.load(fn)
-            if (ck["p"].shape != (ntraj, self.nph)
+            ck_chunk = (int(ck["chunk"][0]) if "chunk" in ck
+                        else ck["p"].shape[0])
+            ck_ntraj = (int(ck["ntraj"][0]) if "ntraj" in ck
+                        else ck["p"].shape[0])
+            if (ck["p"].shape[1:] != (self.nph,)
+                    or ck_ntraj != ntraj
+                    or ck_chunk != chunk
                     or int(ck["nmd"][0]) != self.nmd
                     or not np.isclose(float(ck["dt"][0]), self.dt)):
                 raise ValueError(
                     f"{fn} holds a different ensemble setup — stale "
                     "checkpoint; remove it or change outdir")
+            ichunk0 = int(ck["ichunk"][0]) if "ichunk" in ck else 0
             ipie0 = int(ck["ipie"][0])
             cur_sum = np.asarray(ck["cur_sum"])
-            cur_cnt = int(ck["cur_cnt"][0])
-            states = MDState(
+            if "noise_key" in ck:
+                noise_key = jnp.asarray(ck["noise_key"], jnp.uint32)
+            if thermal and "init_key" in ck:
+                init_key = jnp.asarray(ck["init_key"], jnp.uint32)
+            ck_state = MDState(
                 t=jnp.asarray(ck["t"], jnp.int32),
                 p=jnp.asarray(ck["p"], self.dtype),
                 q=jnp.asarray(ck["q"], self.dtype),
                 phis=jnp.asarray(ck["phis"], self.dtype),
                 qhis=jnp.asarray(ck["qhis"], self.dtype))
-            bsys = system.replace(baths=tuple(
+            ck_bsys = system.replace(baths=tuple(
                 system.baths[i].replace(
                     noise=jnp.asarray(ck[f"noise{i}"]),
                     nevecs=None, nstd=None)
                 for i in range(nb)))
-        else:
-            # sample with the PSD factors present so gnoi takes the
-            # device path (sample_noise_dev — tunnel-safe, vmappable);
-            # _build_system strips the factors, and ensemble_noise
-            # strips them again from what it returns
-            baths_f = tuple(b if b.nstd is not None else b.prepare_noise()
-                            for b in self.baths)
-            bsys = ensemble_noise(system.replace(baths=baths_f),
-                                  self._next_key(), ntraj)
-            if self.dyn is not None and self.initranvel:
-                states = ensemble_states(
-                    bsys, ntraj, key=self._next_key(),
-                    hw=jnp.asarray(self.hw, self.dtype),
-                    evecs=jnp.asarray(self.U, self.dtype), T=self.T)
+
+        first_final = None
+        nchunks = -(-ntraj // chunk)
+        for ic in range(ichunk0, nchunks):
+            c0, c1 = ic * chunk, min((ic + 1) * chunk, ntraj)
+            if ic == ichunk0 and ck_state is not None:
+                bsys, finals, pie_start = ck_bsys, ck_state, ipie0 + 1
+                if pie_start >= npie:       # chunk already complete
+                    continue
             else:
-                states = ensemble_states(bsys, ntraj)
+                bsys = ensemble_noise(sys_f, noise_key, ntraj,
+                                      lo=c0, hi=c1)
+                if thermal:
+                    finals = ensemble_states(
+                        bsys, ntraj, key=init_key,
+                        hw=jnp.asarray(self.hw, self.dtype),
+                        evecs=jnp.asarray(self.U, self.dtype), T=self.T,
+                        lo=c0, hi=c1)
+                else:
+                    finals = ensemble_states(bsys, ntraj, lo=c0, hi=c1)
+                pie_start = 0
 
-        block = block if block is not None else self.block
-        if block and seg % block:
-            block = None
-
-        finals = states
-        for i in range(ipie0 + 1, npie):
-            finals, ys = ensemble_run(bsys, finals, seg,
-                                      t0=(i * seg) % self.nmd,
-                                      block=block)
-            lo = max(0, skip - i * seg)
-            # reduce on device: only (ntraj, nb) + a scalar cross the
-            # (slow) host link instead of the full per-step history
-            seg_sum, ok = _cur_reduce(ys["cur"], min(lo, seg))
-            if not bool(np.asarray(ok)):
-                raise FloatingPointError(
-                    "RunEnsemble: non-finite heat currents in segment "
-                    f"{i} — reduce dt or check the force driver")
-            if lo < seg:
-                cur_sum += np.asarray(seg_sum)
-                cur_cnt += seg - lo
-            if checkpoint:
-                data = {
-                    "p": np.asarray(finals.p), "q": np.asarray(finals.q),
-                    "t": np.asarray(finals.t),
-                    "phis": np.asarray(finals.phis),
-                    "qhis": np.asarray(finals.qhis),
-                    "ipie": np.asarray([i]),
-                    "nmd": np.asarray([self.nmd]),
-                    "dt": np.asarray([self.dt]),
-                    "cur_sum": cur_sum, "cur_cnt": np.asarray([cur_cnt]),
-                }
-                for ib, b in enumerate(bsys.baths):
-                    data[f"noise{ib}"] = np.asarray(b.noise)
-                np.savez(fn, **data)
+            for i in range(pie_start, npie):
+                finals, ys = ensemble_run(bsys, finals, seg,
+                                          t0=(i * seg) % self.nmd,
+                                          block=block)
+                lo = max(0, skip - i * seg)
+                # reduce on device: only (chunk, nb) + a scalar cross
+                # the (slow) host link instead of the full history
+                seg_sum, ok = _cur_reduce(ys["cur"], min(lo, seg))
+                if not bool(np.asarray(ok)):
+                    raise FloatingPointError(
+                        "RunEnsemble: non-finite heat currents in "
+                        f"chunk {ic} segment {i} — reduce dt or check "
+                        "the force driver")
+                if lo < seg:
+                    cur_sum[c0:c1] += np.asarray(seg_sum)
+                if checkpoint:
+                    data = {
+                        "p": np.asarray(finals.p),
+                        "q": np.asarray(finals.q),
+                        "t": np.asarray(finals.t),
+                        "phis": np.asarray(finals.phis),
+                        "qhis": np.asarray(finals.qhis),
+                        "ichunk": np.asarray([ic]),
+                        "ipie": np.asarray([i]),
+                        "chunk": np.asarray([chunk]),
+                        "ntraj": np.asarray([ntraj]),
+                        "nmd": np.asarray([self.nmd]),
+                        "dt": np.asarray([self.dt]),
+                        "cur_sum": cur_sum,
+                        "cur_cnt": np.asarray([cur_cnt]),
+                        "noise_key": np.asarray(noise_key),
+                    }
+                    if thermal:
+                        data["init_key"] = np.asarray(init_key)
+                    for ib, b in enumerate(bsys.baths):
+                        data[f"noise{ib}"] = np.asarray(b.noise)
+                    np.savez(fn, **data)
+            if first_final is None:
+                first_final = jax.tree_util.tree_map(
+                    lambda x: x[0], finals)
 
         means = cur_sum / max(cur_cnt, 1)
         for jtraj in range(ntraj):
@@ -993,7 +1066,8 @@ class md:
                         "w") as fk:
                     fk.write("%i %f    %f \n" % (
                         jtraj, self.T, means[jtraj, ii] * U.CURCOF))
-        self.state = jax.tree_util.tree_map(lambda x: x[0], finals)
+        if first_final is not None:
+            self.state = first_final
         return means
 
     def _write_traj(self, fh, ys, seg, ipie):

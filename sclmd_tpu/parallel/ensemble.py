@@ -41,18 +41,26 @@ def make_mesh(axis_sizes: dict[str, int],
     return Mesh(dev, names)
 
 
-def ensemble_noise(system: GLESystem, key: jax.Array, n: int) -> GLESystem:
-    """Attach n independent noise series per bath (leading batch axis).
+def ensemble_noise(system: GLESystem, key: jax.Array, n: int,
+                   lo: int = 0, hi: Optional[int] = None) -> GLESystem:
+    """Attach independent noise series per bath (leading batch axis).
+
+    ``lo``/``hi`` select a trajectory window of an ``n``-trajectory
+    ensemble: the key schedule depends only on (key, bath, trajectory
+    index), so a chunked ensemble synthesizing successive lo:hi windows
+    gets bitwise the SAME noise as the full batch — memory-wall chunking
+    (md.RunEnsemble) changes peak HBM, never the physics.
 
     Baths carrying PSD factors sample through the cached batched jit
     (identical statistics to per-key ``gnoi``, no per-call re-trace);
     factorless baths fall back to the vmapped all-jnp synthesis."""
     from sclmd_tpu.ops.noise import sample_noise_dev_batch
 
+    hi = n if hi is None else hi
     new_baths = []
     for i, b in enumerate(system.baths):
         bkeys = jax.random.fold_in(key, i)
-        keys = jax.random.split(bkeys, n)
+        keys = jax.random.split(bkeys, n)[lo:hi]
         if getattr(b, "nstd", None) is not None:
             noise = sample_noise_dev_batch(b, keys)
         else:
@@ -63,14 +71,71 @@ def ensemble_noise(system: GLESystem, key: jax.Array, n: int) -> GLESystem:
 
 
 def ensemble_states(system: GLESystem, n: int, key=None, hw=None,
-                    evecs=None, T=None, dtype=None) -> MDState:
-    """Batched initial states: zeros, or Bose-weighted thermal draws."""
+                    evecs=None, T=None, dtype=None,
+                    lo: int = 0, hi: Optional[int] = None) -> MDState:
+    """Batched initial states: zeros, or Bose-weighted thermal draws.
+
+    ``lo``/``hi`` window an ``n``-trajectory ensemble (see
+    ensemble_noise) — chunked draws match the full batch bitwise."""
+    hi = n if hi is None else hi
     if key is None:
         st = initial_state(system, dtype=dtype)
         return jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x, (n,) + x.shape), st)
-    keys = jax.random.split(key, n)
+            lambda x: jnp.broadcast_to(x, (hi - lo,) + x.shape), st)
+    keys = jax.random.split(key, n)[lo:hi]
     return jax.vmap(lambda k: thermal_init(k, system, hw, evecs, T))(keys)
+
+
+def estimate_traj_bytes(system: GLESystem, nsteps: int,
+                        block: Optional[int] = None) -> int:
+    """Rough per-trajectory peak-HBM estimate for one ensemble member.
+
+    Counts the resident batched arrays (noise series, history rings,
+    per-step outputs) plus the transient synthesis/stream copies, with a
+    2x allocator-slack factor. Used by md.RunEnsemble's auto-chunking —
+    the production answer to the reference workload's nmd=2e5 noise
+    arrays (SURVEY.md "hard parts": noise must stream from HBM or be
+    regenerated in chunks)."""
+    item = int(np.dtype(system.mask.dtype).itemsize)
+    nb = len(system.baths)
+    total = 0
+    for b in system.baths:
+        nc = int(b.nc)
+        # resident noise (nmd, nc) + one rolled stream copy (nsteps, nc)
+        # + synthesis transient (complex half-spectrum ~= nmd * nc reals
+        # x2 for the iFFT scratch)
+        total += (system.nmd + nsteps + 2 * system.nmd) * nc * item
+        if getattr(b, "ml", 1) > 1:
+            # blocked-path history + FFT cross-correlation scratch
+            total += (b.ml + (block or 64) + system.nmd // 8) * nc * item
+    # state + plain-path history ring
+    total += (system.ml + 4) * system.nph * item
+    # per-step outputs (etot + per-bath currents)
+    total += nsteps * (nb + 1) * item
+    return 2 * total
+
+
+def auto_chunk(system: GLESystem, ntraj: int, nsteps: int,
+               block: Optional[int] = None,
+               budget_bytes: Optional[int] = None) -> int:
+    """Largest trajectory-chunk size that fits the HBM budget.
+
+    Budget: ``SCLMD_HBM_BUDGET_GB`` env var, default 4 GiB (conservative
+    for the shared-tunnel chip; a dedicated v5e has ~16 GiB). Chunks are
+    additionally capped at 512 — measured throughput on both the primary
+    and flagship workloads saturates by ~256-512 and the 1024-trajectory
+    batch DEGRADES (docs/PERF.md), so bigger chunks only add risk."""
+    import os
+    if budget_bytes is None:
+        gb = float(os.environ.get("SCLMD_HBM_BUDGET_GB", "4"))
+        budget_bytes = int(gb * 2 ** 30)
+    per = max(estimate_traj_bytes(system, nsteps, block), 1)
+    chunk = max(1, min(budget_bytes // per, 512))
+    if chunk >= ntraj:
+        return int(ntraj)          # whole ensemble fits: one chunk
+    # otherwise align down to a power of two (divisor-friendly, and
+    # keeps every chunk the same shape -> one compiled program)
+    return 1 << (int(chunk).bit_length() - 1)
 
 
 def _system_axes(system: GLESystem):

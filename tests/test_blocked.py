@@ -257,6 +257,39 @@ class TestEnsembleCheckpoint:
             6, npie=4, checkpoint=True)
         np.testing.assert_allclose(means_b, means_a, rtol=1e-10)
 
+    def test_interrupted_chunked_ensemble_resumes(self, tmp_path,
+                                                  monkeypatch):
+        """Memory-wall chunking + checkpointing: kill the run mid-way
+        through the SECOND chunk; the resume skips the finished chunk,
+        finishes the broken one from its persisted noise, and runs the
+        rest — reproducing the uninterrupted chunked result exactly."""
+        import sclmd_tpu.parallel.ensemble as PE
+
+        d1, d2 = tmp_path / "full", tmp_path / "cut"
+        d1.mkdir(); d2.mkdir()
+        means_a = self._runner(d1, seed=11).RunEnsemble(
+            6, npie=2, chunk=2, checkpoint=True)
+
+        orig = PE.ensemble_run
+        calls = {"n": 0}
+
+        def bomb(*a, **k):
+            if calls["n"] >= 3:        # dies in chunk 1, segment 1
+                raise RuntimeError("killed mid-ensemble")
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        monkeypatch.setattr(PE, "ensemble_run", bomb)
+        with pytest.raises(RuntimeError, match="killed"):
+            self._runner(d2, seed=11).RunEnsemble(
+                6, npie=2, chunk=2, checkpoint=True)
+        monkeypatch.setattr(PE, "ensemble_run", orig)
+        ck = np.load(d2 / "MDE.npz")
+        assert int(ck["ichunk"][0]) == 1
+        means_b = self._runner(d2, seed=999).RunEnsemble(
+            6, npie=2, chunk=2, checkpoint=True)
+        np.testing.assert_allclose(means_b, means_a, rtol=1e-12)
+
     def test_stale_ensemble_checkpoint_rejected(self, tmp_path):
         self._runner(tmp_path, seed=1).RunEnsemble(4, npie=2,
                                                    checkpoint=True)

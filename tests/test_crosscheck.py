@@ -88,7 +88,7 @@ def test_md_conductance_matches_negf(key):
         j_md, j_err, j_negf)
 
 
-@pytest.mark.slow
+@pytest.mark.statistical
 def test_conductance_within_2pct_of_negf():
     """North-star acceptance (BASELINE.md:20-23): quantum MD thermal
     conductance within 2% of the NEGF Landauer answer, with SEM < 1%.
@@ -245,7 +245,7 @@ def test_phonon_bath_conductance_matches_negf(key):
         j_md, j_err, j_negf)
 
 
-@pytest.mark.slow
+@pytest.mark.statistical
 def test_usek_lead_blocks_conductance_matches_negf(key):
     """End-to-end validation of the K00/K01/V01 bath mode (the mode the
     reference declares but aborts on, baths.py:316-320): MD with
@@ -373,7 +373,7 @@ def test_equilibrium_power_spectrum_matches_negf(key):
     assert abs(md_int - negf_int) / negf_int < 0.2, (md_int, negf_int)
 
 
-@pytest.mark.slow
+@pytest.mark.statistical
 def test_usek_quantum_conductance_antithetic(key):
     """Quantum-statistics version of the UseK crosscheck, with the
     antithetic CRN estimator (see test_conductance_within_2pct_of_negf).

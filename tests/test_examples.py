@@ -1,9 +1,8 @@
 """Example smoke tests: each reference-workload counterpart must run
 end-to-end on CPU (SCLMD_PLATFORM=cpu) in a clean directory.
 
-The slower full-physics examples (runmd --quick, current_induced/rundp)
-are exercised manually / by the driver; the four quick ones run here
-under the slow marker."""
+All 7 runnable workloads are covered: the flagship runmd and the bias
+workload rundp run in their --quick configurations."""
 
 import os
 import subprocess
@@ -18,7 +17,9 @@ QUICK_EXAMPLES = [
     ("compareforce.py", []),
     ("ensemble.py", []),
     ("runeam.py", ["--quick"]),
+    ("runmd.py", ["--quick"]),
     (os.path.join("current_induced", "runnegf.py"), []),
+    (os.path.join("current_induced", "rundp.py"), ["--quick"]),
 ]
 
 

@@ -323,6 +323,51 @@ class TestRunEnsemble:
         means = runner.RunEnsemble(2)
         assert np.isfinite(np.asarray(means)).all()
 
+    def _chunk_runner(self, outdir, seed=7):
+        nat = 4
+        axyz = [["C", 1.0 * i, 0.0, 0.0] for i in range(nat)]
+        dyn = np.asarray(chain_dynmat(3 * nat, 0.05))
+        runner = md(0.4, 128, 300.0, axyz=axyz, dyn=dyn, nstop=1,
+                    dtype=jnp.float64, seed=seed, outdir=str(outdir))
+        eta = np.eye(3) / 80.0
+        runner.AddBath(B.ebath(range(3), 330.0, 0.4, 128, wmax=1.0,
+                               efric=eta, dtype=jnp.float64))
+        runner.AddBath(B.ebath(range(9, 12), 270.0, 0.4, 128, wmax=1.0,
+                               efric=eta, dtype=jnp.float64))
+        return runner
+
+    def test_chunked_matches_unchunked_bitwise(self, tmp_path):
+        """Memory-wall chunking must not change the physics: the
+        per-trajectory key schedule depends only on the trajectory
+        index, so ceil(ntraj/chunk) sequential chunks reproduce the
+        single-batch run EXACTLY (same noise, same init draws)."""
+        d1, d2, d3 = tmp_path / "a", tmp_path / "b", tmp_path / "c"
+        for d in (d1, d2, d3):
+            d.mkdir()
+        m_full = self._chunk_runner(d1).RunEnsemble(6, chunk=6)
+        m_c2 = self._chunk_runner(d2).RunEnsemble(6, chunk=2)
+        m_c4 = self._chunk_runner(d3).RunEnsemble(6, chunk=4)  # ragged
+        np.testing.assert_array_equal(m_c2, m_full)
+        np.testing.assert_array_equal(m_c4, m_full)
+
+    def test_auto_chunk_sizing(self, tmp_path, monkeypatch):
+        """auto_chunk honours the HBM budget: tiny budget -> chunk 1;
+        huge budget -> capped at min(ntraj, 512) (power of two)."""
+        from sclmd_tpu.parallel.ensemble import auto_chunk
+
+        runner = self._chunk_runner(tmp_path)
+        system = runner._build_system()
+        assert auto_chunk(system, 1024, 128, None,
+                          budget_bytes=1) == 1
+        big = auto_chunk(system, 1024, 128, None,
+                         budget_bytes=1 << 40)
+        assert big == 512
+        assert auto_chunk(system, 100, 128, None,
+                          budget_bytes=1 << 40) == 100
+        # default goes through the env var
+        monkeypatch.setenv("SCLMD_HBM_BUDGET_GB", "0.000001")
+        assert auto_chunk(system, 64, 128, None) == 1
+
 
 class TestStaleCheckpoint:
     def test_mismatched_checkpoint_rejected(self, tmp_path):
