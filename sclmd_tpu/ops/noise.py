@@ -227,6 +227,86 @@ def sample_noise_prop(key: jax.Array, evec_re, evec_im, std,
     return jnp.real(fourier_w2t(xi, dt, axis=0))
 
 
+@_partial(jax.jit, static_argnames=("dt", "nmd", "seg", "fchunk"))
+def sample_noise_window(key: jax.Array, evecs_re, evecs_im, std,
+                        dt: float, nmd: int, t0, seg: int,
+                        fchunk: int = 2048) -> jax.Array:
+    """Rows [t0, t0+seg) of the EXACT series ``sample_noise_parts``
+    would produce for the same key — without materialising the full
+    (nmd, nc) time series.
+
+    This is the sequence-axis (SP/CP) streaming primitive: for the
+    reference workload's nmd = 2e5 noise arrays
+    (ref examples/current-induced/rundp.py:43; SURVEY.md hard part
+    "noise ... must stream from HBM or be regenerated in chunks"), a
+    trajectory's resident noise shrinks from (nmd, nc) to (seg, nc) —
+    the Gaussian draws are regenerated from the key each window and the
+    inverse FFT is evaluated only on the window's rows as a
+    paired-frequency cosine sum:
+
+        x_k = [Re xi_0 + (-1)^k Re xi_h
+               + 2 sum_{m=1}^{h-1} (Re xi_m cos(th k m)
+                                    + Im xi_m sin(th k m))] / (nmd dt)
+
+    (th = 2pi/nmd, h = nmd/2 — the m and nmd-m terms of the mirrored
+    spectrum pair into the real cosine/sine sums). The frequency axis is
+    scanned in ``fchunk`` slices so the (seg, hlen) phase table never
+    materialises. ``t0`` is TRACED — one compiled program serves every
+    window of a segmented run.
+
+    Requires power-of-two ``nmd``: the phase k*m mod nmd is computed in
+    wrapping uint32 arithmetic (exact when nmd divides 2^32), keeping
+    full precision at k*m ~ 1e10 where float phases would be garbage.
+
+    ``evecs_re/evecs_im``: (hlen+1, nc, nc) factor batch, or a single
+    (nc, nc) matrix for frequency-proportional spectra (the
+    ``sample_noise_prop`` fast path).
+    """
+    _check_even(nmd)
+    if nmd & (nmd - 1):
+        raise ValueError(f"sample_noise_window needs power-of-two nmd "
+                         f"(got {nmd}) for exact uint32 phase wrapping")
+    hlen = nmd // 2
+    std = jnp.asarray(std)
+    rdt = std.dtype
+    r = jax.random.normal(key, std.shape, dtype=rdt) * std
+    evecs_re = jnp.asarray(evecs_re)
+    evecs_im = jnp.asarray(evecs_im)
+    if evecs_re.ndim == 2:        # frequency-proportional single matrix
+        xr = r @ evecs_re.T
+        xi = r @ evecs_im.T
+    else:
+        xr = jnp.einsum("wij,wj->wi", evecs_re, r)
+        xi = jnp.einsum("wij,wj->wi", evecs_im, r)
+
+    ks_i = (jnp.asarray(t0, jnp.uint32) +
+            jnp.arange(seg, dtype=jnp.uint32))
+    theta = rdt.type(2.0 * np.pi / nmd)
+    sign = jnp.where((ks_i & 1) == 0, rdt.type(1.0), rdt.type(-1.0))
+    acc = xr[0][None, :] + sign[:, None] * xr[hlen][None, :]
+
+    nm = hlen - 1                 # paired frequencies m = 1 .. hlen-1
+    nch = max(1, -(-nm // fchunk))
+    pad = nch * fchunk - nm
+    xr_m = jnp.pad(xr[1:hlen], ((0, pad), (0, 0)))
+    xi_m = jnp.pad(xi[1:hlen], ((0, pad), (0, 0)))
+    ms = jnp.pad(jnp.arange(1, hlen, dtype=jnp.uint32), (0, pad))
+    mask = jnp.asarray(nmd - 1, jnp.uint32)
+
+    def body(carry, inp):
+        m_c, xr_c, xi_c = inp
+        km = (ks_i[:, None] * m_c[None, :]) & mask     # exact mod nmd
+        ph = theta * km.astype(rdt)
+        return carry + 2.0 * (jnp.cos(ph) @ xr_c +
+                              jnp.sin(ph) @ xi_c), None
+
+    acc, _ = jax.lax.scan(
+        body, acc, (ms.reshape(nch, fchunk),
+                    xr_m.reshape(nch, fchunk, -1),
+                    xi_m.reshape(nch, fchunk, -1)))
+    return acc / (nmd * dt)
+
+
 @_partial(jax.jit, static_argnames=("dt", "nmd"))
 def _batch_parts(keys, evr, evi, std, dt, nmd):
     return jax.vmap(lambda k: sample_noise_parts(k, evr, evi, std,

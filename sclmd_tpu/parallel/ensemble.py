@@ -213,3 +213,161 @@ def sharded_ensemble_run(mesh: Mesh, system: GLESystem, states: MDState,
     system, states = shard_ensemble(mesh, system, states, dp=dp, tp=tp)
     with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
         return ensemble_run(system, states, nsteps, t0=t0)
+
+
+def sharded_synthesis_run(mesh: Mesh, system: GLESystem, states: MDState,
+                          key: jax.Array, ntraj: int, nsteps: int,
+                          t0: int = 0, block: Optional[int] = None,
+                          dp: str = "dp", equil_frac: float = 0.25,
+                          noise_window: Optional[int] = None,
+                          return_noise_probe: bool = False):
+    """DP-sharded ensemble with SHARD-LOCAL noise synthesis (the SP/CP
+    row of the parallelism checklist, SURVEY.md:119).
+
+    ``ensemble_noise`` + ``shard_ensemble`` materialise the full
+    (ntraj, nmd, nc) noise batch on one device before scattering it —
+    the axis that actually outgrows HBM (docs/PERF.md: flagship
+    ntraj=1024 crash). Here each device receives only its trajectories'
+    PRNG keys through ``shard_map`` and synthesizes its own
+    (ntraj/ndp, nmd, nc) slice from the (replicated, small) PSD
+    factors: an n-device mesh holds n x the single-device ensemble with
+    no cross-device noise traffic at all.
+
+    ``noise_window=w`` additionally streams the TIME axis: trajectories
+    advance window-by-window (an outer ``lax.scan``), each window
+    regenerating rows [t, t+w] of the exact same series from the key
+    via ``ops.noise.sample_noise_window`` — resident noise shrinks to
+    (ntraj/ndp, w+1, nc), the answer for nmd ~ 2e5 workloads
+    (ref rundp.py:43). Requires power-of-two nmd; results match the
+    unwindowed run to float roundoff (the draws are identical).
+
+    ``system``: baths must carry their PSD factors (``prepare_noise``),
+    ``noise=None``. The key schedule matches ``ensemble_noise(key,
+    ntraj)``, so results equal the unsharded path trajectory-for-
+    trajectory. Returns (final states P(dp), per-trajectory
+    equilibration-skipped current sums (ntraj, nbaths) P(dp)); with
+    ``return_noise_probe`` also each bath's synthesized noise row 0
+    (dryrun/test hook proving per-shard residency).
+    """
+    if hasattr(jax, "shard_map"):
+        def shard_map(f, **kw):            # v0.8+ spelling
+            kw.pop("check_rep", None)
+            return jax.shard_map(f, check_vma=False, **kw)
+    else:                                  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from sclmd_tpu.ops.noise import (_batch_parts, _batch_prop,
+                                     sample_noise_window)
+
+    ndp = mesh.shape[dp]
+    if ntraj % ndp:
+        raise ValueError(f"ntraj={ntraj} not divisible by dp={ndp}")
+    nb = len(system.baths)
+    dt, nmd = float(system.dt), int(system.nmd)
+    skip = int(nsteps * equil_frac)
+    if noise_window is not None:
+        if nsteps % noise_window:
+            raise ValueError(f"nsteps={nsteps} not divisible by "
+                             f"noise_window={noise_window}")
+        if block is not None and noise_window % block:
+            raise ValueError("noise_window must be a multiple of block")
+
+    # host-side factor triples (replicated closure constants; the
+    # frequency-proportional zero-stride broadcast collapses to one
+    # (nc, nc) matrix — sample_noise_dev's dispatch rule)
+    facs = []
+    for b in system.baths:
+        if b.nstd is None:
+            raise ValueError("sharded_synthesis_run needs baths with PSD "
+                             "factors (call prepare_noise())")
+        ev = np.asarray(b.nevecs)
+        std = np.asarray(b.nstd)
+        if ev.ndim == 3 and ev.strides[0] == 0:
+            ev = np.ascontiguousarray(ev[0])
+        facs.append((np.ascontiguousarray(ev.real),
+                     np.ascontiguousarray(ev.imag), std))
+    hot = system.replace(baths=tuple(
+        b.replace(nevecs=None, nstd=None) for b in system.baths))
+
+    # ensemble_noise's key schedule (trajectory-index keyed)
+    keys = tuple(jax.random.split(jax.random.fold_in(key, i), ntraj)
+                 for i in range(nb))
+
+    def synth_full(i, keys_l):
+        evr, evi, std = facs[i]
+        if evr.ndim == 2:
+            return _batch_prop(keys_l, evr, evi, std, dt, nmd)
+        return _batch_parts(keys_l, evr, evi, std, dt, nmd)
+
+    def run_batch(sys_l, states_l, n, seg_t0):
+        if block is None:
+            fn = partial(run_segment, nsteps=n, t0=seg_t0)
+        else:
+            fn = partial(run_segment_blocked, nsteps=n, t0=seg_t0,
+                         block=block)
+        return jax.vmap(fn, in_axes=(_system_axes(sys_l), 0))(
+            sys_l, states_l)
+
+    def body(states_l, *keys_l):
+        if noise_window is None:
+            baths_l = tuple(hot.baths[i].replace(noise=synth_full(
+                i, keys_l[i])) for i in range(nb))
+            sys_l = hot.replace(baths=baths_l)
+            finals, ys = run_batch(sys_l, states_l, nsteps, t0)
+            csum = ys["cur"][:, skip:, :].sum(axis=1)
+            if not return_noise_probe:
+                return finals, csum
+            return finals, csum, tuple(b.noise[:, t0 % nmd, :]
+                                       for b in baths_l)
+
+        win = noise_window
+        nwin = nsteps // win
+        ltraj = states_l.p.shape[0]
+
+        def wbody(carry, w):
+            st, acc = carry
+            t0w = (jnp.asarray(t0, jnp.uint32)
+                   + w.astype(jnp.uint32) * jnp.uint32(win))
+            baths_w = []
+            for i in range(nb):
+                evr, evi, std = facs[i]
+                nz = jax.vmap(lambda k: sample_noise_window(
+                    k, evr, evi, std, dt, nmd, t0w, win + 1))(keys_l[i])
+                baths_w.append(hot.baths[i].replace(noise=nz))
+            # the window IS the noise array: in-window lookups run
+            # t0=0 over a (win+1)-row series whose row j is global row
+            # t0w + j (rows wrap mod the TRUE nmd inside the sampler)
+            sys_w = hot.replace(baths=tuple(baths_w), nmd=win + 1)
+            fin, ys = run_batch(sys_w, st, win, 0)
+            g = w * win + jnp.arange(win)
+            m = (g >= skip).astype(acc.dtype)
+            acc = acc + (ys["cur"] * m[None, :, None]).sum(axis=1)
+            return (fin, acc), None
+
+        acc0 = jnp.zeros((ltraj, nb), states_l.p.dtype)
+        (fin, acc), _ = jax.lax.scan(wbody, (states_l, acc0),
+                                     jnp.arange(nwin))
+        if not return_noise_probe:
+            return fin, acc
+        probe = tuple(
+            jax.vmap(lambda k, i=i: sample_noise_window(
+                k, facs[i][0], facs[i][1], facs[i][2], dt, nmd,
+                jnp.uint32(t0), 1)[0])(keys_l[i])
+            for i in range(nb))
+        return (fin, acc, probe)
+
+    sh = NamedSharding(mesh, P(dp))
+    state_specs = jax.tree_util.tree_map(lambda _: P(dp), states)
+    in_specs = (state_specs,) + tuple(P(dp) for _ in keys)
+    out_specs = (state_specs, P(dp))
+    if return_noise_probe:
+        out_specs = out_specs + (tuple(P(dp) for _ in keys),)
+    states = jax.tree_util.tree_map(lambda x: jax.device_put(x, sh),
+                                    states)
+    keys_d = tuple(jax.device_put(k, sh) for k in keys)
+    f = shard_map(body, mesh=mesh, in_specs=in_specs,
+                  out_specs=out_specs, check_rep=False)
+    out = jax.jit(f)(states, *keys_d)
+    if return_noise_probe:
+        return out[0], out[1], out[2]
+    return out[0], out[1]

@@ -164,3 +164,84 @@ def test_sharded_manybody_force_matches_unsharded(key):
                                np.asarray(ys_ref["cur"]),
                                rtol=1e-8, atol=1e-12)
     assert len(f_sh.p.sharding.device_set) == 8
+
+
+class TestShardedSynthesis:
+    """SP/CP row: shard-local noise synthesis + time-windowed streaming
+    (parallel.ensemble.sharded_synthesis_run)."""
+
+    def _factored(self, nmd=32):
+        system = _small_system(nmd=nmd)
+        return system.replace(baths=tuple(
+            b.prepare_noise() for b in system.baths))
+
+    def test_sharded_synthesis_matches_unsharded(self, key):
+        from sclmd_tpu.parallel.ensemble import sharded_synthesis_run
+
+        mesh = make_mesh({"dp": 8})
+        sysf = self._factored()
+        n = 16
+        bsys = ensemble_noise(sysf, key, n)
+        states = ensemble_states(bsys, n)
+        finals, ys = ensemble_run(bsys, states, 32)
+        csum_ref = np.asarray(ys["cur"][:, 8:, :].sum(axis=1))
+
+        st0 = ensemble_states(sysf, n)
+        fin2, csum, probe = sharded_synthesis_run(
+            mesh, sysf, st0, key, n, 32, equil_frac=0.25,
+            return_noise_probe=True)
+        np.testing.assert_allclose(np.asarray(csum), csum_ref,
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(fin2.p),
+                                   np.asarray(finals.p), rtol=1e-10)
+        # per-shard residency: each device holds ONLY its n/8
+        # trajectories' noise (synthesized locally from its key slice)
+        for i, arr in enumerate(probe):
+            shards = arr.addressable_shards
+            assert len(shards) == 8
+            assert all(s.data.shape[0] == n // 8 for s in shards)
+            np.testing.assert_allclose(
+                np.asarray(arr),
+                np.asarray(bsys.baths[i].noise[:, 0, :]), rtol=1e-10)
+
+    def test_windowed_streaming_matches_full(self, key):
+        """noise_window streams the TIME axis: windowed trajectories
+        reproduce the full-noise run to roundoff (same draws, exact
+        window sampler)."""
+        from sclmd_tpu.parallel.ensemble import sharded_synthesis_run
+
+        mesh = make_mesh({"dp": 4})
+        sysf = self._factored(nmd=64)
+        n = 8
+        st0 = ensemble_states(sysf, n)
+        fin_a, csum_a = sharded_synthesis_run(
+            mesh, sysf, st0, key, n, 64, dp="dp", equil_frac=0.25)
+        fin_b, csum_b = sharded_synthesis_run(
+            mesh, sysf, st0, key, n, 64, dp="dp", equil_frac=0.25,
+            noise_window=16)
+        np.testing.assert_allclose(np.asarray(csum_b),
+                                   np.asarray(csum_a), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(fin_b.p),
+                                   np.asarray(fin_a.p), rtol=1e-9,
+                                   atol=1e-12)
+
+    def test_windowed_blocked_integrator(self, key):
+        """Windowed streaming composes with the blocked fast path and a
+        nonzero segment offset."""
+        from sclmd_tpu.parallel.ensemble import sharded_synthesis_run
+
+        mesh = make_mesh({"dp": 4})
+        sysf = self._factored(nmd=64)
+        n = 8
+        st0 = ensemble_states(sysf, n)
+        fin_a, csum_a = sharded_synthesis_run(
+            mesh, sysf, st0, key, n, 32, t0=16, block=8)
+        fin_b, csum_b = sharded_synthesis_run(
+            mesh, sysf, st0, key, n, 32, t0=16, block=8,
+            noise_window=16)
+        np.testing.assert_allclose(np.asarray(csum_b),
+                                   np.asarray(csum_a), rtol=1e-9,
+                                   atol=1e-14)
+        np.testing.assert_allclose(np.asarray(fin_b.p),
+                                   np.asarray(fin_a.p), rtol=1e-9,
+                                   atol=1e-12)
