@@ -46,7 +46,7 @@ from flax import struct
 
 from sclmd_tpu import units as U
 from sclmd_tpu.baths import bforce
-from sclmd_tpu.ops.functions import bose, powerspecp, rpadleft, symmetrize
+from sclmd_tpu.ops.functions import bose, powerspecp, rpadleft
 
 
 # ---------------------------------------------------------------------------
@@ -464,13 +464,22 @@ def set_dyn(dyn, dtype=jnp.float64):
 
     Mirrors md.setDyn (md.py:250-292): eigenvalues < 0 are clamped to 0
     and the matrix rebuilt as U diag(av) U^T.
+
+    Runs in HOST numpy float64 regardless of the MD dtype (the
+    project's setup-is-host-side invariant): a device f32 eigh +
+    rebuild of a stiff many-DOF matrix leaves O(eps * band) negative
+    leakage whose exp(sqrt|lambda|, t) growth is visible over long
+    runs, and some TPU backends' f32 eigh is far worse than that.
+    Results are cast to ``dtype`` only at the end.
     """
-    dyn = symmetrize(jnp.asarray(dyn, dtype))
-    av, au = jnp.linalg.eigh(dyn)
-    av = jnp.clip(av, 0.0)
-    hw = jnp.sqrt(av)
+    dyn = np.asarray(dyn, np.float64)
+    dyn = (dyn + dyn.T) / 2
+    av, au = np.linalg.eigh(dyn)
+    av = np.clip(av, 0.0, None)
+    hw = np.sqrt(av)
     dyn = (au * av[None, :]) @ au.T
-    return dyn, hw, au
+    return (jnp.asarray(dyn, dtype), jnp.asarray(hw, dtype),
+            jnp.asarray(au, dtype))
 
 
 # ---------------------------------------------------------------------------

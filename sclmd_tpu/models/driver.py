@@ -107,7 +107,30 @@ class JaxDriver:
         ``chunk=None`` auto-selects: full hessian below 512 DOF,
         256-row HVP blocks above. Identical result either way (tests
         pin it).
+
+        The Hessian is computed on the host CPU backend in float64
+        when available (same routing as utils.junction.relax_for_model)
+        even for an f32 driver: f32 second derivatives of a stiff
+        many-body potential cancel catastrophically — measured on the
+        201-atom C/H junction, the f32-on-TPU HVP Hessian had its top
+        band at 0.29 eV^2 vs the true 0.81 and spurious unstable modes
+        at -2.2e-4 eV^2 that blew up 16k-step harmonic runs.
         """
+        import contextlib
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        ctx_dev = (jax.default_device(cpu) if cpu is not None
+                   else contextlib.nullcontext())
+        ctx64 = (jax.enable_x64(True)
+                 if cpu is not None and dtype == jnp.float64
+                 and not jax.config.jax_enable_x64
+                 else contextlib.nullcontext())
+        with ctx_dev, ctx64:
+            return self._dynmat_impl(q, dtype, chunk)
+
+    def _dynmat_impl(self, q, dtype, chunk):
         nph = 3 * self.number
         np_dt = np.float64 if dtype == jnp.float64 else np.float32
         # closures hold HOST numpy constants only; q travels as a jit

@@ -112,11 +112,12 @@ def phase_negf(num=4000):
           f"(bpt units path: {kappa_bpt:.5f} nW/K)")
     np.savez(NEGF_CACHE, ws_ev=ws_ev, tm=tm, j_nat=j_nat,
              kappa_nw_per_k=kappa_nat, kappa_bpt=kappa_bpt,
-             T=T, delta=DELTA)
+             T=T, delta=DELTA, dyn_ev2=dyn_ev2)
 
 
 def md_antithetic(axyz, part, ntraj, nmd, seed, harmonic,
-                  dt=DT, temp=T, delta=DELTA, outbase=None):
+                  dt=DT, temp=T, delta=DELTA, outbase=None,
+                  dyn=None):
     """Antithetic CRN ensemble pair; returns per-trajectory J (natural
     units). Reusable by bench.py's crosscheck section."""
     import tempfile
@@ -128,7 +129,15 @@ def md_antithetic(axyz, part, ntraj, nmd, seed, harmonic,
     from sclmd_tpu.models.hydrocarbon import CHDriver
 
     drv = CHDriver(axyz, dtype=jnp.float32)
-    dyn = np.asarray(drv.dynmat())
+    # the dynamical matrix must be the f64 one (f32 HVP Hessians of
+    # this stiff potential are badly wrong — top band 0.29 vs 0.81 eV^2
+    # with spurious unstable modes); reuse the NEGF phase's matrix so
+    # both sides of the crosscheck share one Hessian
+    if dyn is None:
+        if os.path.exists(NEGF_CACHE):
+            dyn = np.load(NEGF_CACHE)["dyn_ev2"]
+        else:
+            dyn = np.asarray(drv.dynmat())   # routed to CPU f64
     TL, TR = temp * (1 + delta / 2), temp * (1 - delta / 2)
 
     def one_direction(Ta, Tb, tag):

@@ -1,0 +1,228 @@
+"""Roofline / MFU accounting of the production blocked GLE step
+(VERDICT r2 item 4: replace "per-step floor ... regardless of
+implementation" with an attributed budget).
+
+For each headline workload, reports XLA's own cost analysis of the
+compiled program (FLOPs, HBM bytes accessed), the measured median wall
+time, and the derived achieved GFLOP/s / GB/s against the chip peaks
+(v5e: ~819 GB/s HBM, ~197 TFLOP/s bf16 / ~49 TFLOP/s f32 MXU).
+A decomposition run then attributes the per-step floor: an xs-consuming
+but compute-free scan of the same length (scan+stream overhead), the
+bath kernel matmul alone, and the full step.
+
+Run on the chip:   python scripts/exp_roofline.py [primary|config5|all]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+from sclmd_tpu.utils.platform import select_platform
+
+select_platform()
+
+HBM_PEAK_GBS = 819.0
+F32_PEAK_GFLOPS = 49_000.0   # v5e MXU f32 (bf16 peak is 197 TFLOP/s)
+
+
+def _timed(fn, reps=5):
+    import jax
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+def _cost(fn, *args):
+    import jax
+    compiled = jax.jit(fn).lower(*args).compile()
+    try:
+        c = compiled.cost_analysis()
+    except Exception:
+        return {}
+    if isinstance(c, list):
+        c = c[0] if c else {}
+    return dict(c) if c else {}
+
+
+def _report(tag, cost, t_med, nsteps, ntraj=1):
+    fl = float(cost.get("flops", float("nan")))
+    by = float(cost.get("bytes accessed", float("nan")))
+    gflops = fl / t_med / 1e9
+    gbs = by / t_med / 1e9
+    out = {
+        "workload": tag,
+        "wall_s": round(t_med, 4),
+        "traj_steps_per_s": round(ntraj * nsteps / t_med, 1),
+        "xla_gflop": round(fl / 1e9, 3),
+        "xla_gbytes": round(by / 1e9, 3),
+        "achieved_gflops": round(gflops, 1),
+        "achieved_gbs": round(gbs, 1),
+        "pct_hbm_peak": round(100 * gbs / HBM_PEAK_GBS, 1),
+        "pct_f32_mxu_peak": round(100 * gflops / F32_PEAK_GFLOPS, 2),
+        "us_per_traj_step": round(t_med / (ntraj * nsteps) * 1e6, 3),
+    }
+    print(json.dumps(out))
+    return out
+
+
+def _primary_pieces():
+    import jax
+    import jax.numpy as jnp
+
+    from sclmd_tpu import baths as B
+    from sclmd_tpu.md import GLESystem, initial_state, run_segment_blocked
+    from sclmd_tpu.models.harmonic import chain_dynmat
+
+    natoms, ml, nmd, nc = 100, 1000, 2048, 90
+    nph = 3 * natoms
+    dt, T, delta = 0.25 / 0.658, 300.0, 0.1
+    dyn = np.asarray(chain_dynmat(nph, 0.04, dtype=jnp.float32))
+    mask = np.ones(nph, np.float32)
+    gwl = np.linspace(0.0, 0.6, 64)
+    gam = np.array([np.eye(nc) * 0.01 * np.exp(-(w / 0.25) ** 2)
+                    for w in gwl])
+    mk = lambda dofs, temp: B.phbath(temp, dofs, 0.3, 128, dt, nmd,
+                                     ml=ml, gamma=gam, gwl=gwl,
+                                     dtype=jnp.float32)
+    bl = mk(range(nc), T * (1 + delta / 2)).gnoi_np(2).replace(
+        nevecs=None, nstd=None)
+    br = mk(range(nph - nc, nph),
+            T * (1 - delta / 2)).gnoi_np(3).replace(nevecs=None,
+                                                    nstd=None)
+    return (jax, jnp, dyn, mask, bl, br, nph, ml, nmd, dt)
+
+
+def primary():
+    jax, jnp, dyn, mask, bl, br, nph, ml, nmd, dt = _primary_pieces()
+    from sclmd_tpu.md import GLESystem, initial_state, run_segment_blocked
+
+    def full(dyn_a, mask_a, bla, bra):
+        system = GLESystem(dyn=dyn_a, baths=(bla, bra), mask=mask_a,
+                           dt=dt, nph=nph, ml=ml, nmd=nmd,
+                           unconstrained=True)
+        st = initial_state(system)
+        fin, ys = run_segment_blocked(system, st, nmd, 0, block=64)
+        return fin.p, jnp.mean(ys["cur"], axis=0)
+
+    args = (dyn, mask, bl, br)
+    cost = _cost(full, *args)
+    jf = jax.jit(full)
+    jax.block_until_ready(jf(*args))
+    t_med = _timed(lambda: jf(*args))
+    _report("primary full blocked step (nmd=2048)", cost, t_med, nmd)
+
+    # --- decomposition ------------------------------------------------
+    # (a) xs-consuming, compute-free scan of the same length/stream:
+    # bounds the scan + noise-stream overhead; body must consume xs and
+    # produce a dependent output or XLA DCEs the loop
+    xs_l = np.asarray(bl.noise)
+    xs_r = np.asarray(br.noise)
+
+    def scan_only(xl, xr):
+        def body(c, x):
+            return c + x[0][0] * 1e-20 + x[1][0] * 1e-20, x[0][0]
+        c, ys = jax.lax.scan(body, jnp.float32(0.0), (xl, xr))
+        return c, ys[-1]
+
+    cost2 = _cost(scan_only, xs_l, xs_r)
+    js = jax.jit(scan_only)
+    jax.block_until_ready(js(xs_l, xs_r))
+    t2 = _timed(lambda: js(xs_l, xs_r))
+    _report("scan+stream only (same nmd, no physics)", cost2, t2, nmd)
+
+    # (b) the per-block kernel FFT cross-correlation alone (the HBM-
+    # heavy part): one block_corr per block over the same history sizes
+    b = bl
+    nfft = 1 << int(np.ceil(np.log2(b.ml + 64 + 2)))
+    kpad = jnp.pad(b.kernel, ((0, nfft - b.ml), (0, 0), (0, 0)))
+    khat = np.asarray(jnp.fft.rfft(kpad, axis=0))
+
+    def corr_only(khat_a, hist):
+        def body(c, _):
+            O = b.block_corr(hist, 64, khat_a, nfft)
+            return c + O[0, 0] * 1e-20, O[0, 0]
+        c, ys = jax.lax.scan(body, jnp.float32(0.0), None,
+                             length=nmd // 64)
+        return c, ys[-1]
+
+    hist = np.zeros((b.ml - 1, b.nc), np.float32)
+    cost3 = _cost(corr_only, khat, hist)
+    jc = jax.jit(corr_only)
+    jax.block_until_ready(jc(khat, hist))
+    t3 = _timed(lambda: jc(khat, hist))
+    _report("kernel FFT correlations only (2 baths worth: x2)", cost3,
+            t3, nmd)
+
+    # (c) dispatch floor: trivial jitted program
+    def nop(x):
+        return x + 1.0
+
+    jn = jax.jit(nop)
+    jax.block_until_ready(jn(1.0))
+    t4 = _timed(lambda: jn(1.0), reps=9)
+    print(json.dumps({"workload": "dispatch floor (trivial jit)",
+                      "wall_s": round(t4, 4)}))
+
+
+def config5():
+    import jax
+    import jax.numpy as jnp
+
+    from sclmd_tpu import baths as B
+    from sclmd_tpu.md import GLESystem, initial_state, run_segment_blocked
+    from sclmd_tpu.models.harmonic import chain_dynmat
+
+    natoms, ml, nmd, ntraj, block, nc = 500, 512, 1024, 1000, 64, 150
+    nph = 3 * natoms
+    dt, T, delta = 0.25 / 0.658, 300.0, 0.1
+    dyn = np.asarray(chain_dynmat(nph, 0.04, dtype=jnp.float32))
+    mask = np.ones(nph, np.float32)
+    gwl = np.linspace(0.0, 0.6, 48)
+    gam = np.array([np.eye(nc) * 0.01 * np.exp(-(w / 0.25) ** 2)
+                    for w in gwl])
+    mk = lambda dofs, temp: B.phbath(temp, dofs, 0.3, 96, dt, nmd,
+                                     ml=ml, gamma=gam, gwl=gwl,
+                                     dtype=jnp.float32)
+    pbl = mk(range(nc), T * (1 + delta / 2))
+    pbr = mk(range(nph - nc, nph), T * (1 - delta / 2))
+    draw = lambda bath, seed: np.stack(
+        [np.asarray(bath.gnoi_np(seed + i).noise) for i in range(8)])
+    # reuse 8 distinct series tiled to ntraj (cost model unaffected)
+    nzL = np.tile(draw(pbl, 100), (ntraj // 8, 1, 1))
+    nzR = np.tile(draw(pbr, 10000), (ntraj // 8, 1, 1))
+    bl0 = pbl.replace(nevecs=None, nstd=None, noise=None)
+    br0 = pbr.replace(nevecs=None, nstd=None, noise=None)
+
+    def f(dyn_a, mask_a, bla, bra, nzLa, nzRa):
+        def one(nzl, nzr):
+            system = GLESystem(
+                dyn=dyn_a, baths=(bla.replace(noise=nzl),
+                                  bra.replace(noise=nzr)),
+                mask=mask_a, dt=dt, nph=nph, ml=ml, nmd=nmd)
+            st = initial_state(system)
+            fin, ys = run_segment_blocked(system, st, nmd, 0,
+                                          block=block)
+            return jnp.mean(ys["cur"], axis=0)
+        return jnp.mean(jax.vmap(one)(nzLa, nzRa), axis=0)
+
+    args = (dyn, mask, bl0, br0, nzL, nzR)
+    cost = _cost(f, *args)
+    jf = jax.jit(f)
+    jax.block_until_ready(jf(*args))
+    t_med = _timed(lambda: jf(*args), reps=3)
+    _report("config5 (1000 traj x 1024 steps, 1500 DOF)", cost, t_med,
+            nmd, ntraj)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("primary", "all"):
+        primary()
+    if which in ("config5", "all"):
+        config5()
