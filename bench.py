@@ -371,7 +371,52 @@ def flagship(jax, jnp):
     return res
 
 
-SECTIONS = ("flagship", "primary", "primary_scaling", "config5")
+def crosscheck(jax, jnp):
+    """Flagship physics loop (VERDICT r2 item 1): MD thermal conductance
+    vs the NEGF Landauer answer on the reference's own structure.data
+    junction — the reference's headline validation workflow
+    (ref README.md:31-35, examples/runmd.py vs examples/runnegf.py) as a
+    driver-visible number. Uses the harmonic variant (MD on the junction
+    dynamical matrix MUST reproduce harmonic NEGF — an absolute
+    correctness gate, not a statistical one) with the antithetic
+    common-random-numbers estimator. The NEGF side and the relaxed
+    geometry are precomputed on CPU (scripts/exp_crosscheck_flagship.py
+    relax/negf phases) and cached in-repo."""
+    import importlib.util
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "exp_crosscheck_flagship",
+        os.path.join(here, "scripts", "exp_crosscheck_flagship.py"))
+    xc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(xc)
+    if not (os.path.exists(xc.CACHE) and os.path.exists(xc.NEGF_CACHE)):
+        return None
+    from sclmd_tpu import units as U
+    from sclmd_tpu.utils.junction import partition_by_axis
+
+    axyz = xc.load_axyz()
+    part = partition_by_axis(axyz)
+    ntraj, nmd = 32, 2 ** 13
+    t0 = time.time()
+    j = np.asarray(xc.md_antithetic(axyz, part, ntraj, nmd, seed=11,
+                                    harmonic=True))
+    wall = time.time() - t0
+    negf = np.load(xc.NEGF_CACHE)
+    j_md = float(j.mean())
+    sem = float(j.std() / np.sqrt(len(j)))
+    dev = (j_md - float(negf["j_nat"])) / float(negf["j_nat"])
+    return {
+        "kappa_md_nw_per_k": round(j_md / (xc.T * xc.DELTA) * U.CURCOF, 5),
+        "kappa_negf_nw_per_k": round(float(negf["kappa_nw_per_k"]), 5),
+        "dev_pct": round(dev * 100, 2),
+        "sem_pct": round(sem / abs(float(negf["j_nat"])) * 100, 2),
+        "ntraj": ntraj, "nmd": nmd, "wall_s": round(wall, 1),
+    }
+
+
+SECTIONS = ("flagship", "crosscheck", "primary", "primary_scaling",
+            "config5")
 
 
 def run_section(name):
@@ -465,6 +510,13 @@ def main():
         "J_right": p.get("J_right"),
         "device": str(jax.devices()[0]),
     }
+    xc = results.get("crosscheck")
+    if xc and "error" not in xc:
+        result["crosscheck_kappa_md_nw_per_k"] = xc["kappa_md_nw_per_k"]
+        result["crosscheck_kappa_negf_nw_per_k"] = \
+            xc["kappa_negf_nw_per_k"]
+        result["crosscheck_dev_pct"] = xc["dev_pct"]
+        result["crosscheck_sem_pct"] = xc["sem_pct"]
     print(json.dumps(result))
 
 

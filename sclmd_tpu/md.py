@@ -140,6 +140,19 @@ def vv_step(system: GLESystem, state: MDState, noise_rows=None):
     hot loop contains no dynamic indexing. ``None`` (single-step use)
     falls back to a static gather of rows 0/1 only when t is concrete.
     """
+    # TPU f32 matmuls default to one-pass bf16 on the MXU once vmap
+    # turns the force GEMVs into batched GEMMs; ~4e-3 relative error on
+    # the CONSERVATIVE force parametrically heats the junction (measured
+    # on the 201-atom flagship: etot 1e1 -> 8e16 over 4096 steps, while
+    # the unbatched run is stable and bit-matches CPU f64 to 6 digits).
+    # Every hot-loop contraction therefore traces under HIGHEST
+    # precision; the big kernel reads stay HBM-bound, so the extra MXU
+    # passes are ~free.
+    with jax.default_matmul_precision("highest"):
+        return _vv_step_body(system, state, noise_rows)
+
+
+def _vv_step_body(system: GLESystem, state: MDState, noise_rows=None):
     dt = system.dt
     t, p, q = state.t, state.p, state.q
     if noise_rows is None:
@@ -283,6 +296,13 @@ def run_segment_blocked(system: GLESystem, state: MDState, nsteps: int,
     if nsteps % block:
         raise ValueError(f"nsteps={nsteps} must be a multiple of "
                          f"block={block}")
+    with jax.default_matmul_precision("highest"):   # see vv_step
+        return _run_segment_blocked_body(system, state, nsteps, t0,
+                                         block, unroll, EBath, PhBath)
+
+
+def _run_segment_blocked_body(system, state, nsteps, t0, block, unroll,
+                              EBath, PhBath):
     nmd = system.nmd
     nblocks = nsteps // block
     t0 = t0 % nmd

@@ -251,22 +251,27 @@ def test_usek_lead_blocks_conductance_matches_negf(key):
     reference declares but aborts on, baths.py:316-320): MD with
     memory-kernel baths built from semi-infinite-chain lead blocks must
     reproduce the NEGF current computed from the SAME decimated
-    self-energy.
+    self-energy, to within 3% (VERDICT r2 item 5; was 15%).
 
     Bookkeeping pinned by this test: the GLE kernel reproduces
     Sigma(w) - Sigma(0), so the MD dynamical matrix is the BARE device
     (end onsite k); the NEGF side uses the bulk-onsite device block
-    (2k at the ends) with the full Sigma(w). Classical statistics keep
-    the variance manageable; the residual systematic is the noise-grid
-    dw (measured -10%, dt- and ml-independent), hence the 15% bound.
+    (2k at the ends) with the full Sigma(w).
+
+    Estimator (scripts/exp_usek_richardson.py measurements, 2026-08):
+    with the antithetic common-random-numbers pairing the old "-10%
+    noise-grid" deviation does not reproduce — the residual systematic
+    is -2.8% at dt=0.38 and is dt-FIRST-ORDER (the trapezoidal GLE
+    convolution taps), not dw-dependent (dw tiers 2^12..2^15 all sit at
+    -2.4..-3.7%). Two dt tiers + Richardson in dt cancel it:
+    measured tier devs -2.76%/-1.30% (SEM ~1%), extrapolated +0.16%.
     """
     from sclmd_tpu.selfenergy import lead_selfenergy_from_blocks_np
     from sclmd_tpu.md import run_segment_blocked
 
     k = 0.04
     nph = 8
-    dt, nmd = 0.25 / 0.658, 2 ** 13
-    ml = 256
+    base_dt = 0.25 / 0.658
     T, delta = 300.0, 0.5
     TL, TR = T * (1 + delta / 2), T * (1 - delta / 2)
 
@@ -293,33 +298,48 @@ def test_usek_lead_blocks_conductance_matches_negf(key):
         tm.append(np.real(np.trace(g @ gl @ g.conj().T @ gr)))
     j_negf = np.trapezoid(np.array(tm), ws) * U.KB * (TL - TR) \
         / (2 * np.pi)
+    assert j_negf > 0
     assert max(tm) > 0.99          # perfect chain: ballistic in band
 
-    def mk(Tb, cid):
-        return B.phbath(Tb, [cid], np.sqrt(k), 400, dt, nmd, ml=ml,
-                        K00=K00, K01=K01, V01=V01, mcof=2.2,
-                        classical=True, dtype=jnp.float64)
+    def measure(dt, nmd, ml, nens, sub):
+        """Antithetic CRN tier: same keys at swapped (TL,TR) orderings
+        so zero-point-scale fluctuations cancel in the difference."""
+        def mk(Tb, cid):
+            return B.phbath(Tb, [cid], np.sqrt(k), 400, dt, nmd, ml=ml,
+                            K00=K00, K01=K01, V01=V01, mcof=2.2,
+                            classical=True, dtype=jnp.float64)
 
-    pbl, pbr = mk(TL, 0), mk(TR, nph - 1)
-    nens = 48
-    keys = jax.random.split(key, (nens, 2))
-    mask = jnp.ones(nph)
+        fwd = (mk(TL, 0), mk(TR, nph - 1))
+        rev = (mk(TR, 0), mk(TL, nph - 1))
+        keys = jax.random.split(jax.random.fold_in(key, sub), (nens, 2))
 
-    def one(ks):
-        bl = pbl.gnoi(ks[0]).replace(nevecs=None, nstd=None)
-        br = pbr.gnoi(ks[1]).replace(nevecs=None, nstd=None)
-        sysb = make_system(jnp.asarray(D), [bl, br], dt, nmd)
-        _, ys = run_segment_blocked(
-            sysb, initial_state(sysb, dtype=jnp.float64), nmd, block=64)
-        cur = ys["cur"][nmd // 4:]
-        return (jnp.mean(cur[:, 0]) - jnp.mean(cur[:, 1])) / 2
+        def one(ks):
+            def run(bl, br):
+                bl = bl.gnoi(ks[0]).replace(nevecs=None, nstd=None)
+                br = br.gnoi(ks[1]).replace(nevecs=None, nstd=None)
+                sysb = make_system(jnp.asarray(D), [bl, br], dt, nmd)
+                _, ys = run_segment_blocked(
+                    sysb, initial_state(sysb, dtype=jnp.float64), nmd,
+                    block=64)
+                cur = ys["cur"][nmd // 4:]
+                return (jnp.mean(cur[:, 0]) - jnp.mean(cur[:, 1])) / 2
 
-    j = np.asarray(jax.vmap(one)(keys))
-    j_md = float(j.mean())
-    j_err = float(j.std() / np.sqrt(nens))
-    assert j_negf > 0
-    assert abs(j_md - j_negf) < max(3 * j_err, 0.15 * j_negf), (
-        j_md, j_err, j_negf)
+            return (run(*fwd) - run(*rev)) / 2
+
+        j = np.asarray(jax.vmap(one)(keys))
+        return float(j.mean()), float(j.std() / np.sqrt(nens))
+
+    # two dt tiers at the same physical window (nmd*dt) and kernel
+    # length (ml*dt); Richardson in dt cancels the O(dt) convolution
+    # bias (measured: -2.76% and -1.30% raw, +0.16% extrapolated)
+    j1, s1 = measure(base_dt, 2 ** 14, 256, 256, sub=1)
+    j2, s2 = measure(base_dt / 2, 2 ** 15, 512, 256, sub=2)
+    assert abs(j1 - j_negf) < max(3 * s1, 0.06 * j_negf), (j1, s1, j_negf)
+    assert abs(j2 - j_negf) < max(3 * s2, 0.04 * j_negf), (j2, s2, j_negf)
+    j_star = 2 * j2 - j1
+    s_star = float(np.hypot(2 * s2, s1))
+    assert abs(j_star - j_negf) < max(3 * s_star, 0.03 * j_negf), (
+        j_star, s_star, j_negf)
 
 
 @pytest.mark.slow
@@ -376,16 +396,23 @@ def test_equilibrium_power_spectrum_matches_negf(key):
 @pytest.mark.statistical
 def test_usek_quantum_conductance_antithetic(key):
     """Quantum-statistics version of the UseK crosscheck, with the
-    antithetic CRN estimator (see test_conductance_within_2pct_of_negf).
-    Measured: dev -1.4% at SEM 2.1% — the quantum occupation suppresses
-    the low-frequency noise-grid bias that dominates the classical case.
+    antithetic CRN estimator (see test_conductance_within_2pct_of_negf),
+    held to 4% (VERDICT r2 item 5; was 8%).
+
+    Measured (2026-08, nens=96): dev -2.12% +-1.26% at dt=0.38,
+    -1.43% +-1.27% at dt/2, Richardson-in-dt -0.74% +-2.84% — the same
+    O(dt) convolution bias as the classical test at roughly half the
+    slope (quantum occupation suppresses the low-frequency part where
+    the discretisation error concentrates). This test runs the dt/2
+    tier, where the measured deviation leaves a 2-sigma margin under
+    the 4% bound; the classical twin pins the Richardson limit at 3%.
     """
     from sclmd_tpu.selfenergy import lead_selfenergy_from_blocks_np
     from sclmd_tpu.md import run_segment_blocked
 
     k = 0.04
     nph = 8
-    dt, nmd, ml = 0.25 / 0.658, 2 ** 13, 256
+    dt, nmd, ml = 0.25 / 0.658 / 2, 2 ** 15, 512
     T, delta = 300.0, 0.5
     TL, TR = T * (1 + delta / 2), T * (1 - delta / 2)
     D = np.array(chain_dynmat(nph, k))

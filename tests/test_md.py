@@ -122,6 +122,69 @@ class TestStepAgainstOracle:
         assert abs(e1 - e0) / e0 < 1e-3
 
 
+def _iter_eqns(jaxpr):
+    """All equations of a jaxpr, recursing into scan/cond/pjit bodies."""
+    for eqn in jaxpr.eqns:
+        yield eqn
+        for v in eqn.params.values():
+            vs = v if isinstance(v, (tuple, list)) else (v,)
+            for sub in vs:
+                inner = getattr(sub, "jaxpr", None)
+                if inner is not None:
+                    yield from _iter_eqns(inner)
+
+
+class TestMatmulPrecision:
+    """The hot loop must trace under HIGHEST matmul precision: TPU f32
+    dots default to one-pass bf16 on the MXU, and once vmap turns the
+    conservative-force GEMV into a batched GEMM the ~4e-3 relative
+    error parametrically heats the junction (flagship etot 1e1 -> 8e16
+    over 4096 steps; single-trajectory runs looked fine, which is why
+    this needs a trace-level pin rather than a CPU numerics test)."""
+
+    def _assert_all_highest(self, traced):
+        dots = [e for e in _iter_eqns(traced.jaxpr)
+                if e.primitive.name == "dot_general"]
+        assert dots, "expected dot_general eqns in the hot loop"
+        for e in dots:
+            prec = e.params.get("precision")
+            assert prec is not None and all(
+                p == jax.lax.Precision.HIGHEST for p in prec), (
+                e.primitive.name, prec)
+
+    def _system(self, rng, key):
+        nph, nmd, dt = 6, 32, 0.2
+        dyn = np.asarray(chain_dynmat(nph, 0.1))
+        pb = B.phbath(200.0, np.array([0, 5]), 0.2, 16, dt, nmd, ml=4,
+                      gamma=np.array([np.eye(2) * 0.1] * 4),
+                      gwl=np.linspace(0, 0.5, 4),
+                      dtype=jnp.float64).gnoi(key)
+        system = make_system(dyn, [pb], dt, nmd)
+        st = initial_state(system, dtype=jnp.float64).replace(
+            q=jnp.asarray(rng.normal(size=nph) * 0.1))
+        return system, st
+
+    def test_run_segment_dots_are_highest(self, rng, key):
+        system, st = self._system(rng, key)
+        self._assert_all_highest(
+            jax.make_jaxpr(lambda s: run_segment(system, s, 8))(st))
+
+    def test_run_segment_blocked_dots_are_highest(self, rng, key):
+        from sclmd_tpu.md import run_segment_blocked
+        system, st = self._system(rng, key)
+        self._assert_all_highest(jax.make_jaxpr(
+            lambda s: run_segment_blocked(system, s, 16, block=8))(st))
+
+    def test_vmapped_blocked_dots_are_highest(self, rng, key):
+        """The ensemble path (vmap of the blocked integrator) is where
+        the batched-GEMM downcast actually bit."""
+        from sclmd_tpu.md import run_segment_blocked
+        system, st = self._system(rng, key)
+        batch = jax.tree.map(lambda x: jnp.stack([x, x]), st)
+        self._assert_all_highest(jax.make_jaxpr(jax.vmap(
+            lambda s: run_segment_blocked(system, s, 16, block=8)))(batch))
+
+
 class TestSegmenting:
     def test_two_segments_equal_one(self, rng, key):
         nph, nmd, dt = 4, 32, 0.2
