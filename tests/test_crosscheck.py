@@ -465,5 +465,5 @@ def test_usek_quantum_conductance_antithetic(key):
     j_md = float(j.mean())
     j_err = float(j.std() / np.sqrt(nens))
     assert j_negf > 0
-    assert abs(j_md - j_negf) < max(3 * j_err, 0.08 * j_negf), (
+    assert abs(j_md - j_negf) < max(3 * j_err, 0.04 * j_negf), (
         j_md, j_err, j_negf)
