@@ -390,7 +390,7 @@ def crosscheck(jax, jnp):
         os.path.join(here, "scripts", "exp_crosscheck_flagship.py"))
     xc = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(xc)
-    if not (os.path.exists(xc.CACHE) and os.path.exists(xc.NEGF_CACHE)):
+    if not os.path.exists(xc.NEGF_CACHE):
         return None
     from sclmd_tpu import units as U
     from sclmd_tpu.utils.junction import partition_by_axis

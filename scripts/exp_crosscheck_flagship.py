@@ -53,7 +53,10 @@ MAXOMEGA_EV = 0.45                      # above the C-H stretch band
 
 
 def load_axyz():
-    ck = np.load(CACHE)
+    # the committed NEGF cache is self-contained (carries the relaxed
+    # geometry), so the MD phase / bench crosscheck run cold from a
+    # fresh clone; the relax-phase cache is a local intermediate
+    ck = np.load(CACHE if os.path.exists(CACHE) else NEGF_CACHE)
     return [[str(e)] + list(map(float, p))
             for e, p in zip(ck["els"], ck["pos"])]
 
@@ -112,7 +115,9 @@ def phase_negf(num=4000):
           f"(bpt units path: {kappa_bpt:.5f} nW/K)")
     np.savez(NEGF_CACHE, ws_ev=ws_ev, tm=tm, j_nat=j_nat,
              kappa_nw_per_k=kappa_nat, kappa_bpt=kappa_bpt,
-             T=T, delta=DELTA, dyn_ev2=dyn_ev2)
+             T=T, delta=DELTA, dyn_ev2=dyn_ev2,
+             els=np.array([a[0] for a in axyz]),
+             pos=np.array([a[1:] for a in axyz], dtype=np.float64))
 
 
 def md_antithetic(axyz, part, ntraj, nmd, seed, harmonic,

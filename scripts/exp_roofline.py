@@ -38,6 +38,16 @@ def _timed(fn, reps=5):
     return ts[len(ts) // 2]
 
 
+def _put(*args):
+    """Ship args to device ONCE before timing: numpy args to a jit are
+    (re-)transferred through the axon tunnel per call, which times the
+    tunnel, not the program (66 MB of khat measured 2.4 s/call)."""
+    import jax
+    out = jax.device_put(args)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out))
+    return out
+
+
 def _cost(fn, *args):
     import jax
     compiled = jax.jit(fn).lower(*args).compile()
@@ -110,7 +120,7 @@ def primary():
         fin, ys = run_segment_blocked(system, st, nmd, 0, block=64)
         return fin.p, jnp.mean(ys["cur"], axis=0)
 
-    args = (dyn, mask, bl, br)
+    args = _put(dyn, mask, bl, br)
     cost = _cost(full, *args)
     jf = jax.jit(full)
     jax.block_until_ready(jf(*args))
@@ -118,32 +128,59 @@ def primary():
     _report("primary full blocked step (nmd=2048)", cost, t_med, nmd)
 
     # --- decomposition ------------------------------------------------
-    # (a) xs-consuming, compute-free scan of the same length/stream:
-    # bounds the scan + noise-stream overhead; body must consume xs and
-    # produce a dependent output or XLA DCEs the loop
+    # (a) xs-consuming, compute-free scans bounding loop overhead. Two
+    # granularities: per-STEP (what a naive integrator pays, nmd
+    # iterations) and per-BLOCK (what the production blocked integrator
+    # pays, nmd/64 iterations over (64, nc) noise slabs). Bodies must
+    # consume xs and produce a dependent output or XLA DCEs the loop.
     xs_l = np.asarray(bl.noise)
     xs_r = np.asarray(br.noise)
 
-    def scan_only(xl, xr):
+    def scan_steps(xl, xr):
         def body(c, x):
             return c + x[0][0] * 1e-20 + x[1][0] * 1e-20, x[0][0]
         c, ys = jax.lax.scan(body, jnp.float32(0.0), (xl, xr))
         return c, ys[-1]
 
-    cost2 = _cost(scan_only, xs_l, xs_r)
-    js = jax.jit(scan_only)
+    cost2 = _cost(scan_steps, xs_l, xs_r)
+    js = jax.jit(scan_steps)
+    xs_l, xs_r = _put(xs_l, xs_r)
     jax.block_until_ready(js(xs_l, xs_r))
     t2 = _timed(lambda: js(xs_l, xs_r))
-    _report("scan+stream only (same nmd, no physics)", cost2, t2, nmd)
+    _report("per-STEP scan+stream only (nmd iterations, no physics)",
+            cost2, t2, nmd)
+
+    xb_l = xs_l.reshape(nmd // 64, 64, -1)
+    xb_r = xs_r.reshape(nmd // 64, 64, -1)
+
+    def scan_blocks(xl, xr):
+        def body(c, x):
+            return c + x[0][0, 0] * 1e-20 + x[1][0, 0] * 1e-20, x[0][0, 0]
+        c, ys = jax.lax.scan(body, jnp.float32(0.0), (xl, xr))
+        return c, ys[-1]
+
+    cost2b = _cost(scan_blocks, xb_l, xb_r)
+    jsb = jax.jit(scan_blocks)
+    xb_l, xb_r = _put(xb_l, xb_r)
+    jax.block_until_ready(jsb(xb_l, xb_r))
+    t2b = _timed(lambda: jsb(xb_l, xb_r))
+    _report("per-BLOCK scan+stream only (nmd/64 iterations)", cost2b,
+            t2b, nmd)
 
     # (b) the per-block kernel FFT cross-correlation alone (the HBM-
-    # heavy part): one block_corr per block over the same history sizes
+    # heavy part): one block_corr per block over the same history
+    # sizes. khat is built host-side (complex buffers do not transfer
+    # through the axon tunnel) and shipped as separate re/im planes.
     b = bl
     nfft = 1 << int(np.ceil(np.log2(b.ml + 64 + 2)))
-    kpad = jnp.pad(b.kernel, ((0, nfft - b.ml), (0, 0), (0, 0)))
-    khat = np.asarray(jnp.fft.rfft(kpad, axis=0))
+    kpad = np.zeros((nfft,) + np.asarray(b.kernel).shape[1:], np.float64)
+    kpad[:b.ml] = np.asarray(b.kernel)
+    khat_h = np.fft.rfft(kpad, axis=0)
+    khat_re = khat_h.real.astype(np.float32)
+    khat_im = khat_h.imag.astype(np.float32)
 
-    def corr_only(khat_a, hist):
+    def corr_only(kre, kim, hist):
+        khat_a = kre + 1j * kim
         def body(c, _):
             O = b.block_corr(hist, 64, khat_a, nfft)
             return c + O[0, 0] * 1e-20, O[0, 0]
@@ -152,10 +189,11 @@ def primary():
         return c, ys[-1]
 
     hist = np.zeros((b.ml - 1, b.nc), np.float32)
-    cost3 = _cost(corr_only, khat, hist)
+    cost3 = _cost(corr_only, khat_re, khat_im, hist)
     jc = jax.jit(corr_only)
-    jax.block_until_ready(jc(khat, hist))
-    t3 = _timed(lambda: jc(khat, hist))
+    khat_re, khat_im, hist = _put(khat_re, khat_im, hist)
+    jax.block_until_ready(jc(khat_re, khat_im, hist))
+    t3 = _timed(lambda: jc(khat_re, khat_im, hist))
     _report("kernel FFT correlations only (2 baths worth: x2)", cost3,
             t3, nmd)
 
@@ -193,9 +231,12 @@ def config5():
     pbr = mk(range(nph - nc, nph), T * (1 - delta / 2))
     draw = lambda bath, seed: np.stack(
         [np.asarray(bath.gnoi_np(seed + i).noise) for i in range(8)])
-    # reuse 8 distinct series tiled to ntraj (cost model unaffected)
-    nzL = np.tile(draw(pbl, 100), (ntraj // 8, 1, 1))
-    nzR = np.tile(draw(pbr, 10000), (ntraj // 8, 1, 1))
+    # reuse 8 distinct series tiled to ntraj (cost model unaffected);
+    # transfer the 8 series (5 MB) once and tile ON DEVICE — tiling on
+    # host makes a 614 MB numpy arg that re-times the tunnel every call
+    tile_dev = jax.jit(lambda a: jnp.tile(a, (ntraj // 8, 1, 1)))
+    nzL = tile_dev(*_put(draw(pbl, 100)))
+    nzR = tile_dev(*_put(draw(pbr, 10000)))
     bl0 = pbl.replace(nevecs=None, nstd=None, noise=None)
     br0 = pbr.replace(nevecs=None, nstd=None, noise=None)
 
@@ -211,7 +252,7 @@ def config5():
             return jnp.mean(ys["cur"], axis=0)
         return jnp.mean(jax.vmap(one)(nzLa, nzRa), axis=0)
 
-    args = (dyn, mask, bl0, br0, nzL, nzR)
+    args = _put(dyn, mask, bl0, br0, nzL, nzR)
     cost = _cost(f, *args)
     jf = jax.jit(f)
     jax.block_until_ready(jf(*args))
