@@ -261,9 +261,82 @@ def config5():
             nmd, ntraj)
 
 
+def flagship():
+    """The reference's own structure.data workload: CHDriver many-body
+    forces inside the vmapped scan, 2 wideband ebaths, 128 trajectories.
+    Uses the committed relaxed geometry + f64 dynamical matrix from the
+    crosscheck NEGF cache, and times the SAME compiled program
+    md.RunEnsemble dispatches (parallel.ensemble._ensemble_segment,
+    block=None — Markovian ebaths need no blocked convolution)."""
+    import importlib.util
+    import os
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "exp_crosscheck_flagship",
+        os.path.join(here, "exp_crosscheck_flagship.py"))
+    xc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(xc)
+
+    from sclmd_tpu import baths as B
+    from sclmd_tpu.md import md as MDRunner
+    from sclmd_tpu.models.hydrocarbon import CHDriver
+    from sclmd_tpu.parallel.ensemble import (_ensemble_segment,
+                                             ensemble_noise,
+                                             ensemble_states)
+    from sclmd_tpu.utils.junction import partition_by_axis
+
+    axyz = xc.load_axyz()
+    part = partition_by_axis(axyz)
+    drv = CHDriver(axyz, dtype=jnp.float32)
+    dyn = np.load(xc.NEGF_CACHE)["dyn_ev2"]
+
+    ntraj, nmd = 128, 1024
+    T, delta, dt = 300.0, 0.1, 0.25 / 0.658
+    runner = MDRunner(dt, nmd, T, axyz=axyz, dyn=dyn,
+                      dtype=jnp.float32,
+                      outdir=tempfile.mkdtemp(prefix="roofline_fs_"))
+    runner.AddPotential(drv)
+    damp = 100 / 0.658211814201041
+    for cats, tt in ((part["ecatsl"], T * (1 + delta / 2)),
+                     (part["ecatsr"], T * (1 - delta / 2))):
+        eta = (1.0 / damp) * np.identity(len(cats))
+        runner.AddBath(B.ebath(cats, tt, runner.dt, runner.nmd,
+                               wmax=1.0, nw=500, efric=eta))
+    runner.AddConstr([part["fixdofs"]])
+    system = runner._build_system()
+
+    system = ensemble_noise(system, jax.random.PRNGKey(5), ntraj)
+    states = ensemble_states(system, ntraj)
+    system, states = _put(system, states)
+
+    compiled = _ensemble_segment.lower(system, states, nmd, 0,
+                                       None).compile()
+    try:
+        c = compiled.cost_analysis()
+        if isinstance(c, list):
+            c = c[0] if c else {}
+        cost = dict(c) if c else {}
+    except Exception:
+        cost = {}
+    jax.block_until_ready(
+        _ensemble_segment(system, states, nmd, 0, None)[0].p)
+    t_med = _timed(
+        lambda: _ensemble_segment(system, states, nmd, 0, None)[0].p,
+        reps=3)
+    _report(f"flagship structure.data ({ntraj} traj x {nmd} steps, "
+            "CHDriver many-body forces)", cost, t_med, nmd, ntraj)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("primary", "all"):
         primary()
     if which in ("config5", "all"):
         config5()
+    if which in ("flagship", "all"):
+        flagship()
