@@ -111,13 +111,16 @@ def initial_state(system: GLESystem, dtype=None) -> MDState:
 
 
 def thermal_init(key: jax.Array, system: GLESystem, hw: jax.Array,
-                 evecs: jax.Array, T: float,
+                 evecs: jax.Array, T,
                  freq_cut: float = 0.01) -> MDState:
     """Bose-weighted random initial conditions from the normal modes.
 
     Mirrors md.initialise (md.py:294-338): each mode with frequency
     hw_i >= freq_cut gets amplitude sqrt(2 (n_B(hw_i,T) + 1/2)/hw_i) and a
     uniform random phase; constrained DOFs are zeroed.
+
+    ``T`` may be a scalar (the reference's uniform-temperature start)
+    or a per-mode array (nm,) — see ``steady_mode_temps``.
     """
     nm = hw.shape[0]
     r = jax.random.uniform(key, (nm,), dtype=hw.dtype)
@@ -130,6 +133,197 @@ def thermal_init(key: jax.Array, system: GLESystem, hw: jax.Array,
     vel = vel * system.mask
     st = initial_state(system, dtype=hw.dtype)
     return st.replace(p=vel, q=dis)
+
+
+def steady_mode_temps(evecs, baths, T, hw=None):
+    """Coupling-weighted steady-state temperature per normal mode.
+
+    A quasi-ballistic mode's stationary occupation is set by the baths
+    it touches: T_i = sum_b g_bi T_b / sum_b g_bi, with secular
+    (weak-coupling) rate weights g_bi = s_b(hw_i) * sum_{d in b}
+    U[d, i]^2 — s_b is the bath's mean diagonal friction strength
+    (EBath.efric; PhBath's Gamma(w) diagonal interpolated at the mode
+    frequency when ``hw`` is given). Modes with negligible total
+    coupling keep the global ``T``: they relax at a negligible rate AND
+    exert a negligible bath force, so their start temperature cannot
+    bias the measured currents.
+
+    Host-side numpy by design (setup invariant). Used by
+    md.RunEnsemble(steady_init=True) to start trajectories on the
+    nonequilibrium steady profile instead of the reference's uniform-T
+    initialise (ref md.py:294-338): from a uniform start every
+    intermediate-damping mode relaxes from T to T_i across the
+    averaging window — a transient that is ODD in DeltaT, so the
+    antithetic estimator adds rather than cancels it (measured +7.9%
+    on the flagship harmonic crosscheck at nmd=2^13, falling ~1/T_run;
+    scripts/exp_xcheck_dw.py).
+    """
+    U_ = np.asarray(evecs, np.float64)
+    nm = U_.shape[1]
+    num = np.zeros(nm)
+    den = np.zeros(nm)
+    for b in baths:
+        proj = (U_[np.asarray(b.cids), :] ** 2).sum(axis=0)
+        if getattr(b, "efric", None) is not None:
+            g = float(np.mean(np.diag(np.asarray(b.efric)))) * proj
+        elif getattr(b, "gamma", None) is not None:
+            gam = np.asarray(b.gamma, np.float64)
+            gwl = np.asarray(b.gwl, np.float64)
+            sdiag = np.einsum("wii->w", gam) / gam.shape[1]
+            if hw is None:
+                g = float(sdiag.mean()) * proj
+            else:
+                w = np.clip(np.abs(np.asarray(hw, np.float64)),
+                            gwl[0], gwl[-1])
+                g = np.interp(w, gwl, sdiag) * proj
+        else:
+            g = proj
+        num += g * float(b.T)
+        den += g
+    tol = 1e-8 * max(float(den.max()), 1e-300)
+    safe = np.where(den > tol, den, 1.0)
+    return np.where(den > tol, num / safe, float(T))
+
+
+def state_ravel(st: "MDState") -> np.ndarray:
+    """Flatten (p, q, phis, qhis) to one host vector (batch-aware:
+    leading axes before the state axes are preserved)."""
+    p = np.asarray(st.p)
+    lead = p.shape[:-1]
+    return np.concatenate(
+        [p, np.asarray(st.q)]
+        + [np.asarray(st.phis).reshape(lead + (-1,)),
+           np.asarray(st.qhis).reshape(lead + (-1,))], axis=-1)
+
+
+def state_unravel(x, system: GLESystem, dtype=None) -> "MDState":
+    """Inverse of state_ravel; ``x`` may carry leading batch axes."""
+    nph, ml = system.nph, system.ml
+    x = np.asarray(x)
+    lead = x.shape[:-1]
+    dtype = dtype or (system.dyn.dtype if system.dyn is not None
+                      else jnp.float32)
+    p = x[..., :nph]
+    q = x[..., nph:2 * nph]
+    phis = x[..., 2 * nph:2 * nph + ml * nph].reshape(
+        lead + (ml, nph))
+    qhis = x[..., 2 * nph + ml * nph:].reshape(lead + (1, nph))
+    t = jnp.zeros(lead, jnp.int32) if lead else jnp.asarray(0, jnp.int32)
+    return MDState(t=t, p=jnp.asarray(p, dtype), q=jnp.asarray(q, dtype),
+                   phis=jnp.asarray(phis, dtype),
+                   qhis=jnp.asarray(qhis, dtype))
+
+
+def gle_step_jacobian(system: GLESystem) -> np.ndarray:
+    """Host-f64 one-step Jacobian A of the GLE map at zero noise,
+    state flattened as [p, q, phis, qhis] (state_ravel order).
+
+    For a harmonic system the velocity-Verlet step (vv_step) is exactly
+    affine, x_{t+1} = A x_t + (noise terms), so A fully characterizes
+    the homogeneous dynamics — including the mask constraint and the
+    Markovian/memory bath friction. Built by jax.jacfwd on the host CPU
+    backend in f64 (one traced program; setup-side work by the
+    project's host-setup invariant). Used by ``periodic_fixed_point``.
+    """
+    import contextlib
+
+    sys0 = system.replace(baths=tuple(
+        b.replace(noise=None, nevecs=None, nstd=None)
+        for b in system.baths))
+
+    def cast(x):
+        a = np.asarray(x)
+        return (a.astype(np.float64)
+                if np.issubdtype(a.dtype, np.floating) else a)
+
+    sys0 = jax.tree_util.tree_map(cast, sys0)
+    nph, ml = sys0.nph, sys0.ml
+    n = (2 + ml + 1) * nph
+
+    def stepv(x):
+        # zero noise rows built INSIDE the traced function so they pick
+        # up the x64 context (module scope would truncate to f32)
+        zero_rows = tuple((jnp.zeros((b.nc,), x.dtype),) * 2
+                          for b in sys0.baths)
+        st = MDState(t=jnp.asarray(0, jnp.int32),
+                     p=x[:nph], q=x[nph:2 * nph],
+                     phis=x[2 * nph:(2 + ml) * nph].reshape(ml, nph),
+                     qhis=x[(2 + ml) * nph:].reshape(1, nph))
+        new, _ = vv_step(sys0, st, noise_rows=zero_rows)
+        return jnp.concatenate([new.p, new.q, new.phis.ravel(),
+                                new.qhis.ravel()])
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    ctx_dev = (jax.default_device(cpu) if cpu is not None
+               else contextlib.nullcontext())
+    ctx64 = (jax.enable_x64(True)
+             if cpu is not None and not jax.config.jax_enable_x64
+             else contextlib.nullcontext())
+    with ctx_dev, ctx64:
+        A = jax.jit(jax.jacfwd(stepv))(jnp.zeros((n,), jnp.float64))
+        A = np.asarray(A, np.float64)
+    return A
+
+
+def period_power(A, nperiod: int) -> np.ndarray:
+    """A^nperiod by binary powering (host f64; log2(nperiod) matmuls).
+    Precompute once and pass to periodic_fixed_point(power=...) when
+    solving several batches/directions of the same system."""
+    A = np.asarray(A, np.float64)
+    power = np.eye(A.shape[0])
+    base = A
+    k = int(nperiod)
+    while k:
+        if k & 1:
+            power = power @ base
+        k >>= 1
+        if k:
+            base = base @ base
+    return power
+
+
+def periodic_fixed_point(A, x1, nperiod: int, tol: float = 1e-8,
+                         power=None):
+    """Initial state(s) ON the discrete periodic attractor.
+
+    A GLE trajectory driven by noise of period P steps follows
+    x((k+1)P) = A^P x(kP) + c, where c equals the end-of-period state
+    of a zero-initialized run (the map is affine). The unique periodic
+    point is x* = (I - A^P)^{-1} c; directions where I - A^P is
+    near-singular (undamped modes whose frequency is near-commensurate
+    with the period — modes that also exert no bath force) are dropped
+    instead of amplified.
+
+    Starting AT x* removes the initial-condition transient exactly:
+    from a cold start every mode must otherwise build its steady
+    state-noise correlation over 1/gamma_i, a DeltaT-odd bias on
+    antithetic conductance estimates measured at +7.9% (nmd=2^13) on
+    the flagship crosscheck and falling only like 1/T_run
+    (scripts/exp_xcheck_{dt,dw,steady}.py). On the attractor the
+    expected current is time-independent, so ANY averaging window is
+    unbiased.
+
+    ``x1``: (n,) or (batch, n) zero-init end-of-period states
+    (state_ravel). ``power``: optional precomputed A^P (reuse across
+    directions/batches). Returns host-f64 array shaped like ``x1``.
+
+    Numerics: A is DEFECTIVE (the history-ring shift contributes Jordan
+    blocks), so the eigenbasis route amplifies roundoff by cond(V) —
+    instead A^P is formed by binary powering (log2 P matmuls) and
+    (I - A^P) x* = c solved by SVD least squares, whose minimum-norm
+    solution drops the near-singular directions at ``tol``.
+    """
+    A = np.asarray(A, np.float64)
+    n = A.shape[0]
+    if power is None:
+        power = period_power(A, nperiod)
+    x1 = np.asarray(x1, np.float64)
+    rhs = x1.T if x1.ndim == 2 else x1
+    x0, *_ = np.linalg.lstsq(np.eye(n) - power, rhs, rcond=tol)
+    return x0.T if x1.ndim == 2 else x0
 
 
 def vv_step(system: GLESystem, state: MDState, noise_rows=None):
@@ -916,7 +1110,8 @@ class md:
     def RunEnsemble(self, ntraj: int, nsteps: Optional[int] = None,
                     equil_frac: float = 0.25, block: Optional[int] = None,
                     npie: Optional[int] = None, checkpoint: bool = False,
-                    chunk: Optional[int] = None):
+                    chunk: Optional[int] = None,
+                    steady_init: bool = False):
         """Run ``ntraj`` independent trajectories as vmapped programs.
 
         The reference executes its ensemble sequentially (the
@@ -944,6 +1139,15 @@ class md:
         production-ensemble analog of the MD{j} resume semantics
         (md.py:511-567), with the same noise-persistence
         reproducibility guarantee.
+
+        ``steady_init=True`` starts each trajectory with every normal
+        mode at its coupling-weighted steady-state temperature
+        (``steady_mode_temps``) instead of the reference's uniform T.
+        The steady state is unchanged (init only affects transients);
+        what it removes is the DeltaT-odd mode-relaxation transient
+        that biases short antithetic conductance runs (measured +7.9%
+        at nmd=2^13 on the flagship crosscheck, ~1/T_run). With all
+        baths at equal temperature it reduces to the uniform start.
         """
         from sclmd_tpu.parallel.ensemble import (auto_chunk,
                                                  ensemble_noise,
@@ -1036,10 +1240,18 @@ class md:
                 bsys = ensemble_noise(sys_f, noise_key, ntraj,
                                       lo=c0, hi=c1)
                 if thermal:
+                    T_init = self.T
+                    if steady_init and self.baths:
+                        T_init = jnp.asarray(
+                            steady_mode_temps(self.U, self.baths,
+                                              self.T,
+                                              hw=np.asarray(self.hw)),
+                            self.dtype)
                     finals = ensemble_states(
                         bsys, ntraj, key=init_key,
                         hw=jnp.asarray(self.hw, self.dtype),
-                        evecs=jnp.asarray(self.U, self.dtype), T=self.T,
+                        evecs=jnp.asarray(self.U, self.dtype),
+                        T=T_init,
                         lo=c0, hi=c1)
                 else:
                     finals = ensemble_states(bsys, ntraj, lo=c0, hi=c1)

@@ -431,6 +431,128 @@ class TestRunEnsemble:
         monkeypatch.setenv("SCLMD_HBM_BUDGET_GB", "0.000001")
         assert auto_chunk(system, 64, 128, None) == 1
 
+    def test_steady_mode_temps_weighted_average(self, tmp_path):
+        """Per-mode steady temperatures are coupling-weighted averages
+        of the bath temperatures: bounded by [TR, TL]; modes coupled
+        only to one lead sit at that lead's temperature; zero-coupling
+        modes keep the global T."""
+        from sclmd_tpu.md import steady_mode_temps
+
+        runner = self._chunk_runner(tmp_path)   # baths at 330 / 270 K
+        Tm = steady_mode_temps(runner.U, runner.baths, runner.T,
+                               hw=np.asarray(runner.hw))
+        assert Tm.shape == (12,)
+        assert (Tm >= 270.0 - 1e-9).all() and (Tm <= 330.0 + 1e-9).all()
+        # left-right mirror symmetry of the chain: the coupling-weighted
+        # profile must average to the mean T over the spectrum
+        assert abs(Tm.mean() - 300.0) < 5.0
+        # a mode localized on the left bath DOFs only -> T of that bath
+        U_ = np.zeros((12, 1))
+        U_[0, 0] = 1.0
+        Tl = steady_mode_temps(U_, runner.baths, runner.T)
+        assert np.allclose(Tl, 330.0)
+        # zero coupling everywhere -> global T
+        U0 = np.zeros((12, 1))
+        U0[5, 0] = 1.0   # DOF 5 touches neither bath (0-2, 9-11)
+        T0 = steady_mode_temps(U0, runner.baths, runner.T)
+        assert np.allclose(T0, 300.0)
+
+    def test_steady_init_equal_temps_matches_uniform(self, tmp_path):
+        """With all baths at the same temperature the steady profile IS
+        the uniform profile, so steady_init must reproduce the
+        reference-shaped start bitwise (same seed, same draws)."""
+        nat = 4
+        axyz = [["C", 1.0 * i, 0.0, 0.0] for i in range(nat)]
+        dyn = np.asarray(chain_dynmat(3 * nat, 0.05))
+        eta = np.eye(3) / 80.0
+
+        def build(outdir):
+            runner = md(0.4, 128, 300.0, axyz=axyz, dyn=dyn, nstop=1,
+                        dtype=jnp.float64, seed=3,
+                        outdir=str(outdir))
+            for dofs in (range(3), range(9, 12)):
+                runner.AddBath(B.ebath(dofs, 300.0, 0.4, 128, wmax=1.0,
+                                       efric=eta, dtype=jnp.float64))
+            return runner
+
+        d1, d2 = tmp_path / "u", tmp_path / "s"
+        d1.mkdir(), d2.mkdir()
+        m_uniform = build(d1).RunEnsemble(3)
+        m_steady = build(d2).RunEnsemble(3, steady_init=True)
+        np.testing.assert_array_equal(m_steady, m_uniform)
+
+
+class TestPeriodicWarmStart:
+    """gle_step_jacobian + periodic_fixed_point: warm-starting ON the
+    discrete periodic attractor of a noise period."""
+
+    def _system(self, key, nmd=128, ml=1):
+        nat = 4
+        nph = 3 * nat
+        dt = 0.4
+        dyn = np.asarray(chain_dynmat(nph, 0.05))
+        eta = np.eye(3) / 30.0
+        bl = B.ebath(range(3), 330.0, dt, nmd, wmax=1.0, efric=eta,
+                     dtype=jnp.float64)
+        br = B.ebath(range(9, 12), 270.0, dt, nmd, wmax=1.0, efric=eta,
+                     dtype=jnp.float64)
+        ks = jax.random.split(key, 2)
+        bl = bl.gnoi(ks[0]).replace(nevecs=None, nstd=None)
+        br = br.gnoi(ks[1]).replace(nevecs=None, nstd=None)
+        mask = np.ones(nph)
+        mask[:1] = 0.0
+        return make_system(dyn, [bl, br], dt, nmd, mask=mask)
+
+    def test_fixed_point_is_periodic(self, key):
+        """Running one full noise period FROM the computed attractor
+        point returns exactly to it — the defining property, checked
+        through the real integrator (not the Jacobian model)."""
+        from sclmd_tpu.md import (gle_step_jacobian, periodic_fixed_point,
+                                  run_segment, state_ravel, state_unravel)
+
+        system = self._system(key)
+        nmd = system.nmd
+        st0 = initial_state(system, dtype=jnp.float64)
+        fin1, _ = run_segment(system, st0, nmd)
+        A = gle_step_jacobian(system)
+        x0 = periodic_fixed_point(A, state_ravel(fin1), nmd)
+        stw = state_unravel(x0, system, dtype=jnp.float64)
+        fin2, _ = run_segment(system, stw, nmd)
+        np.testing.assert_allclose(state_ravel(fin2), x0,
+                                   rtol=0, atol=1e-9 * np.abs(x0).max())
+
+    def test_jacobian_matches_integrator(self, key):
+        """A x equals one zero-noise step of the integrator from state
+        x (the map is linear in the state)."""
+        from sclmd_tpu.md import (gle_step_jacobian, run_segment,
+                                  state_ravel, state_unravel, vv_step)
+
+        system = self._system(key)
+        A = gle_step_jacobian(system)
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=A.shape[0])
+        st = state_unravel(x, system, dtype=jnp.float64)
+        zsys = system.replace(baths=tuple(
+            b.replace(noise=jnp.zeros_like(b.noise))
+            for b in system.baths))
+        new, _ = vv_step(zsys, st)
+        np.testing.assert_allclose(state_ravel(new), A @ x, rtol=1e-10,
+                                   atol=1e-12)
+
+    def test_batched_fixed_point(self, key):
+        """Batch axis: per-trajectory attractor points solved in one
+        call match per-trajectory solves."""
+        from sclmd_tpu.md import gle_step_jacobian, periodic_fixed_point
+
+        system = self._system(key)
+        A = gle_step_jacobian(system)
+        rng = np.random.default_rng(7)
+        x1 = rng.normal(size=(3, A.shape[0]))
+        xb = periodic_fixed_point(A, x1, system.nmd)
+        for i in range(3):
+            xi = periodic_fixed_point(A, x1[i], system.nmd)
+            np.testing.assert_allclose(xb[i], xi, rtol=1e-12)
+
 
 class TestStaleCheckpoint:
     def test_mismatched_checkpoint_rejected(self, tmp_path):
