@@ -379,9 +379,15 @@ def crosscheck(jax, jnp):
     driver-visible number. Uses the harmonic variant (MD on the junction
     dynamical matrix MUST reproduce harmonic NEGF — an absolute
     correctness gate, not a statistical one) with the antithetic
-    common-random-numbers estimator. The NEGF side and the relaxed
-    geometry are precomputed on CPU (scripts/exp_crosscheck_flagship.py
-    relax/negf phases) and cached in-repo."""
+    common-random-numbers estimator warm-started ON the discrete
+    periodic attractor (md.periodic_fixed_point): a cold start carries
+    a DeltaT-odd state-noise-correlation transient measured at +7.9%
+    (nmd=2^13) falling only like 1/T_run — the warm start removes it
+    exactly, leaving the comb-grid residual (-0.59% measured at this
+    tier, inside the 2% north-star bar with SEM ~1.6%). The NEGF side
+    and the relaxed geometry are precomputed on CPU
+    (scripts/exp_crosscheck_flagship.py relax/negf phases) and cached
+    in-repo."""
     import importlib.util
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -397,10 +403,10 @@ def crosscheck(jax, jnp):
 
     axyz = xc.load_axyz()
     part = partition_by_axis(axyz)
-    ntraj, nmd = 32, 2 ** 13
+    ntraj, nmd = 32, 2 ** 14
     t0 = time.time()
-    j = np.asarray(xc.md_antithetic(axyz, part, ntraj, nmd, seed=11,
-                                    harmonic=True))
+    j = np.asarray(xc.md_antithetic_warm(axyz, part, ntraj, nmd,
+                                         seed=11))
     wall = time.time() - t0
     negf = np.load(xc.NEGF_CACHE)
     j_md = float(j.mean())
@@ -412,6 +418,7 @@ def crosscheck(jax, jnp):
         "dev_pct": round(dev * 100, 2),
         "sem_pct": round(sem / abs(float(negf["j_nat"])) * 100, 2),
         "ntraj": ntraj, "nmd": nmd, "wall_s": round(wall, 1),
+        "estimator": "antithetic CRN + periodic-attractor warm start",
     }
 
 
