@@ -122,7 +122,8 @@ def phase_negf(num=4000):
 
 def md_antithetic(axyz, part, ntraj, nmd, seed, harmonic,
                   dt=DT, temp=T, delta=DELTA, outbase=None,
-                  dyn=None, equil_frac=0.25, steady_init=False):
+                  dyn=None, equil_frac=0.25, steady_init=False,
+                  classical=False):
     """Antithetic CRN ensemble pair; returns per-trajectory J (natural
     units). Reusable by bench.py's crosscheck section."""
     import tempfile
@@ -156,7 +157,8 @@ def md_antithetic(axyz, part, ntraj, nmd, seed, harmonic,
         for cats, tt in ((part["ecatsl"], Ta), (part["ecatsr"], Tb)):
             eta = (1.0 / DAMP_NAT) * np.identity(len(cats))
             runner.AddBath(B.ebath(cats, tt, runner.dt, runner.nmd,
-                                   wmax=1.0, nw=500, efric=eta))
+                                   wmax=1.0, nw=500, efric=eta,
+                                   classical=classical))
         runner.AddConstr([part["fixdofs"]])
         means = runner.RunEnsemble(ntraj, nsteps=nmd,
                                    equil_frac=equil_frac,

@@ -309,6 +309,13 @@ def flagship():
                                wmax=1.0, nw=500, efric=eta))
     runner.AddConstr([part["fixdofs"]])
     system = runner._build_system()
+    # keep the PSD factors so ensemble_noise samples through the cached
+    # device jit (_build_system strips them; the stripped path falls
+    # back to eager enoise — tunnel-fatal, same regression RunEnsemble
+    # fixed)
+    system = system.replace(baths=tuple(
+        b if b.nstd is not None else b.prepare_noise()
+        for b in runner.baths))
 
     system = ensemble_noise(system, jax.random.PRNGKey(5), ntraj)
     states = ensemble_states(system, ntraj)
