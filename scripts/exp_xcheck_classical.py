@@ -45,15 +45,19 @@ from sclmd_tpu.utils.junction import partition_by_axis  # noqa: E402
 def main():
     ntraj = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     nmd = 2 ** (int(sys.argv[2]) if len(sys.argv) > 2 else 14)
+    # ΔT/T: the anharmonic ensemble decorrelates the CRN pairing, so
+    # SEM is set by the unpaired fluctuation floor — a larger DeltaT
+    # buys SNR linearly (delta=0.5 measured SEM ~3% where 0.1 gave 15%)
+    delta = float(sys.argv[3]) if len(sys.argv) > 3 else xc.DELTA
     axyz = xc.load_axyz()
     part = partition_by_axis(axyz)
     negf = np.load(xc.NEGF_CACHE)
     ws, tm = negf["ws_ev"], negf["tm"]
-    TL = xc.T * (1 + xc.DELTA / 2)
-    TR = xc.T * (1 - xc.DELTA / 2)
+    TL = xc.T * (1 + delta / 2)
+    TR = xc.T * (1 - delta / 2)
     j_cl = float(np.trapezoid(tm, ws) * U.KB * (TL - TR) / (2 * np.pi))
-    print(f"classical Landauer: J={j_cl:.6e} "
-          f"kappa={j_cl / (xc.T * xc.DELTA) * U.CURCOF:.5f} nW/K",
+    print(f"classical Landauer (delta={delta}): J={j_cl:.6e} "
+          f"kappa={j_cl / (xc.T * delta) * U.CURCOF:.5f} nW/K",
           flush=True)
 
     devs = {}
@@ -61,7 +65,7 @@ def main():
         t0 = time.time()
         j = np.asarray(xc.md_antithetic(axyz, part, ntraj, nmd,
                                         seed=11, harmonic=harmonic,
-                                        classical=True))
+                                        classical=True, delta=delta))
         wall = time.time() - t0
         j_md = float(j.mean())
         sem = float(j.std() / np.sqrt(len(j)))
