@@ -141,17 +141,30 @@ def primary(jax, jnp):
         return f1(dyn, mask, bl2, br2)
 
     _sync(regen_dev())                                  # compile sampler
+    # physical floor: one tunnel round-trip of a trivial program. A
+    # 2048-step segment can never complete faster than dispatch — an
+    # r3 run recorded a 2.1 ms "median" for a program that reproducibly
+    # takes ~110 ms (50x impossible speedup, below the ~30 ms floor);
+    # guard every sub-second timing against that failure mode.
+    nop = jax.jit(lambda x: x + 1.0)
+    _sync(nop(1.0))
+    floor, _ = _timed(lambda: nop(1.0), reps=9)
+
     fns = {"scan": scan_only, "regen": regen_dev, "regen_host": regen_host}
     med = _timed_interleaved(fns, rounds=5)
     # internal ordering invariant: regen runs the SAME program plus
     # noise synthesis, so its time must not be smaller (tolerance for
     # shared-chip noise); one re-measure with more rounds on violation
+    def sane(m):
+        return m["scan"] >= max(1.5 * floor, 0.005)
+
     ordering_ok = (med["regen"] >= 0.95 * med["scan"]
                    and med["regen_host"] >= 0.95 * med["scan"])
-    if not ordering_ok:
+    if not ordering_ok or not sane(med):
         med = _timed_interleaved(fns, rounds=9)
         ordering_ok = (med["regen"] >= 0.95 * med["scan"]
                        and med["regen_host"] >= 0.95 * med["scan"])
+    timing_suspect = not sane(med)
     single_sps = nmd / med["scan"]
     regen_sps = nmd / med["regen"]
     regen_host_sps = nmd / med["regen_host"]
@@ -197,6 +210,8 @@ def primary(jax, jnp):
         "single_sps": single_sps, "single_best_sps": single_best,
         "regen_sps": regen_sps, "regen_host_sps": regen_host_sps,
         "ordering_ok": bool(ordering_ok),
+        "timing_suspect": bool(timing_suspect),
+        "dispatch_floor_ms": round(floor * 1e3, 2),
         "ens": ens, "J_left": float(jl), "J_right": float(jr),
         "finite": bool(finite),
     }
@@ -224,7 +239,7 @@ def primary_scaling(jax, jnp):
                     for w in gwl])
 
     def build(outdir):
-        r = MDRunner(dt, nmd, T,
+        r = MDRunner(dt, nmd, T, dyn=dyn,
                      axyz=[["C", 1.4 * i, 0, 0] for i in range(natoms)],
                      dtype=jnp.float32, outdir=outdir, block=256)
         r.AddBath(B.phbath(T * (1 + delta / 2), range(nc), 0.3, 128, dt,
@@ -488,6 +503,8 @@ def main():
         "with_host_noise_regen_steps_per_sec":
             round(p.get("regen_host_sps", 0.0), 1),
         "ordering_ok_scan_le_regen": p.get("ordering_ok"),
+        "timing_suspect": p.get("timing_suspect"),
+        "dispatch_floor_ms": p.get("dispatch_floor_ms"),
         "timing": "per-section subprocesses; interleaved reps; medians "
                   "(shared chip, +-40% single-shot variance)",
         "ensemble_traj_steps_per_sec": best_ens,

@@ -1,0 +1,308 @@
+"""Exact attractor expectation of the discrete GLE bath currents.
+
+For a HARMONIC system the velocity-Verlet map (md.vv_step) is affine,
+
+    x_{t+1} = A x_t + B0 xi_t + B1 xi_{t+1},
+
+and the synthesized colored noise is a finite frequency comb
+(ops.noise.sample_noise / mirror_halfspectrum / fourier_w2t):
+
+    xi_t = (1/(N dt)) [Re u_0 + (-1)^t Re u_h
+                       + 2 sum_{m=1}^{h-1} Re(u_m e^{-i th_m t})],
+
+    u_m = U_m (s_m * eps_m),  eps_m ~ N(0, I) REAL,  th_m = 2 pi m / N,
+
+with (U_m, s_m) the host PSD factors (noise_factors / prepare_noise).
+The periodic particular solution per line is x^(m)_t = Re[X_m z^t],
+z = e^{-i th_m}, (z I - A) X_m = (B0 + z B1) u_m, and each per-step
+bath current cur_b = f_b . p is a pure quadratic form v^T M_b v in
+v = [x; xi_t; xi_{t+1}]. Averaged over ONE full noise period the
+oscillatory (pseudo-covariance) terms cancel except at m in {0, h},
+leaving the closed form
+
+    E[J_b] = sum_m (a_m^2 / 2) Re( tr[M_b L_m D? ...] )
+           = sum_m (a_m^2 / 2) ( Re tr[M_b P_m P_m^H]
+                                 + delta_m Re tr[M_b P_m P_m^T] ),
+
+    P_m = [X; I; zI] (U_m diag(s_m)),   a_m = 2/(N dt) (1/(N dt) at
+    m = 0, h where also delta_m = 1).
+
+This is the ZERO-Monte-Carlo prediction of what md's warm-started
+(periodic-attractor, full-period-averaged) antithetic estimator
+measures — including every discretization effect: the vv integrator,
+the comb noise grid, and the exact PSD conventions. Comparing it to
+the continuum Landauer integral isolates the discretization bias
+deterministically; comparing MD ensembles to it isolates pure
+statistics. Cost is O(h (n^3 + N_v^2 m)) — instant for chains,
+hours for the 2412-dof flagship (documented, not default).
+
+All host-side numpy/complex128 (setup invariant). Validated end-to-end
+by tests/test_exact_gle.py: per-line reconstruction against the real
+sampler, and E[J] against warm-started MD ensembles and the Landauer
+integral.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _cpu_f64_system(system):
+    """Host-f64 clone with noise/factor leaves stripped (the linear
+    map does not depend on them)."""
+    sys0 = system.replace(baths=tuple(
+        b.replace(noise=None, nevecs=None, nstd=None)
+        for b in system.baths))
+
+    def cast(x):
+        a = np.asarray(x)
+        return (a.astype(np.float64)
+                if np.issubdtype(a.dtype, np.floating) else a)
+
+    return jax.tree_util.tree_map(cast, sys0)
+
+
+def _with_cpu_x64():
+    import contextlib
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    ctx_dev = (jax.default_device(cpu) if cpu is not None
+               else contextlib.nullcontext())
+    ctx64 = (jax.enable_x64(True)
+             if cpu is not None and not jax.config.jax_enable_x64
+             else contextlib.nullcontext())
+    return ctx_dev, ctx64
+
+
+def linearize_step(system):
+    """(A, B0, B1): the affine one-step operators of vv_step in the
+    state_ravel basis; noise input is the concatenation of the baths'
+    noise rows. Host f64 (jax.jacfwd on the CPU backend)."""
+    from sclmd_tpu.md import MDState, vv_step
+
+    sys0 = _cpu_f64_system(system)
+    nph, ml = sys0.nph, sys0.ml
+    n = (2 + ml + 1) * nph
+    ncs = [b.nc for b in sys0.baths]
+    m = sum(ncs)
+    offs = np.concatenate([[0], np.cumsum(ncs)]).astype(int)
+
+    def stepv(x, xi0, xi1):
+        rows = tuple((xi0[offs[i]:offs[i + 1]], xi1[offs[i]:offs[i + 1]])
+                     for i in range(len(ncs)))
+        st = MDState(t=jnp.asarray(0, jnp.int32),
+                     p=x[:nph], q=x[nph:2 * nph],
+                     phis=x[2 * nph:(2 + ml) * nph].reshape(ml, nph),
+                     qhis=x[(2 + ml) * nph:].reshape(1, nph))
+        new, out = vv_step(sys0, st, noise_rows=rows)
+        vec = jnp.concatenate([new.p, new.q, new.phis.ravel(),
+                               new.qhis.ravel()])
+        return vec, out["cur"]
+
+    ctx_dev, ctx64 = _with_cpu_x64()
+    with ctx_dev, ctx64:
+        z = (jnp.zeros((n,), jnp.float64), jnp.zeros((m,), jnp.float64),
+             jnp.zeros((m,), jnp.float64))
+        jac = jax.jit(jax.jacfwd(lambda *a: stepv(*a)[0],
+                                 argnums=(0, 1, 2)))
+        A, B0, B1 = (np.asarray(J, np.float64) for J in jac(*z))
+    return A, B0, B1
+
+
+def current_forms(system):
+    """Stacked (nbaths, Nv, Nv) symmetric quadratic forms M_b with
+    cur_b = v^T M_b v, v = [x; xi_t; xi_{t+1}] (host f64)."""
+    from sclmd_tpu.md import MDState, vv_step
+
+    sys0 = _cpu_f64_system(system)
+    nph, ml = sys0.nph, sys0.ml
+    n = (2 + ml + 1) * nph
+    ncs = [b.nc for b in sys0.baths]
+    m = sum(ncs)
+    offs = np.concatenate([[0], np.cumsum(ncs)]).astype(int)
+    Nv = n + 2 * m
+
+    def curv(v):
+        x, xi0, xi1 = v[:n], v[n:n + m], v[n + m:]
+        rows = tuple((xi0[offs[i]:offs[i + 1]], xi1[offs[i]:offs[i + 1]])
+                     for i in range(len(ncs)))
+        st = MDState(t=jnp.asarray(0, jnp.int32),
+                     p=x[:nph], q=x[nph:2 * nph],
+                     phis=x[2 * nph:(2 + ml) * nph].reshape(ml, nph),
+                     qhis=x[(2 + ml) * nph:].reshape(1, nph))
+        _, out = vv_step(sys0, st, noise_rows=rows)
+        return out["cur"]
+
+    ctx_dev, ctx64 = _with_cpu_x64()
+    with ctx_dev, ctx64:
+        H = jax.jit(jax.jacfwd(jax.jacrev(curv)))(
+            jnp.zeros((Nv,), jnp.float64))
+        H = np.asarray(H, np.float64)       # (nbaths, Nv, Nv)
+    return 0.5 * (H + np.swapaxes(H, 1, 2)) / 2.0
+
+
+def current_rank1_forms(system):
+    """Per-bath factored current forms: cur_b(v) = (E_b v) . (G_b v).
+
+    The per-step current is f_b . p with f_b supported on the bath's
+    nc lead DOFs — a rank-nc bilinear form. E_b (nc, Nv) maps
+    v = [x; xi_t; xi_{t+1}] to the lead components of the predictor
+    bath force; G_b (nc, Nv) selects the pre-step lead velocities.
+    Equivalent to ``current_forms`` (pinned by test) at
+    O(nc Nv) per-line cost instead of O(Nv^2) — the difference between
+    minutes and hours for the 2412-dof flagship.
+    """
+    from sclmd_tpu.md import MDState, vv_step
+
+    sys0 = _cpu_f64_system(system).replace(savef=True)
+    nph, ml = sys0.nph, sys0.ml
+    n = (2 + ml + 1) * nph
+    ncs = [b.nc for b in sys0.baths]
+    m = sum(ncs)
+    offs = np.concatenate([[0], np.cumsum(ncs)]).astype(int)
+    Nv = n + 2 * m
+    cids = [np.asarray(b.cids) for b in sys0.baths]
+
+    def leadf(v):
+        x, xi0, xi1 = v[:n], v[n:n + m], v[n + m:]
+        rows = tuple((xi0[offs[i]:offs[i + 1]], xi1[offs[i]:offs[i + 1]])
+                     for i in range(len(ncs)))
+        st = MDState(t=jnp.asarray(0, jnp.int32),
+                     p=x[:nph], q=x[nph:2 * nph],
+                     phis=x[2 * nph:(2 + ml) * nph].reshape(ml, nph),
+                     qhis=x[(2 + ml) * nph:].reshape(1, nph))
+        _, out = vv_step(sys0, st, noise_rows=rows)
+        return jnp.concatenate([out["fbaths"][i][cids[i]]
+                                for i in range(len(ncs))])
+
+    ctx_dev, ctx64 = _with_cpu_x64()
+    with ctx_dev, ctx64:
+        E = np.asarray(jax.jit(jax.jacfwd(leadf))(
+            jnp.zeros((Nv,), jnp.float64)), np.float64)
+    Es, Gs = [], []
+    for i in range(len(ncs)):
+        Es.append(E[offs[i]:offs[i + 1]])
+        G = np.zeros((ncs[i], Nv))
+        G[np.arange(ncs[i]), cids[i]] = 1.0     # p rows of x
+        Gs.append(G)
+    return Es, Gs
+
+
+def attractor_expected_currents(system, progress=False,
+                                method="dense"):
+    """(nbaths,) exact expected full-period-average bath currents of
+    the periodic attractor (see module docstring).
+
+    ``system`` baths must carry host PSD factors (``prepare_noise``);
+    the pytree may be any dtype — the computation runs host-f64.
+
+    ``method``: "dense" — full (Nv, Nv) quadratic forms + one LU per
+    line (small systems); "schur" — complex Schur factorisation of A
+    once + per-line triangular solves with the rank-nc factored
+    current forms: O(h n^2 m) total, which makes the 2412-dof flagship
+    tractable (~1-2 h on one CPU core vs days dense).
+    """
+    if method == "schur":
+        return _attractor_expected_schur(system, progress)
+    baths = system.baths
+    if any(getattr(b, "nstd", None) is None for b in baths):
+        raise ValueError("baths must carry PSD factors: call "
+                         "bath.prepare_noise() before building the "
+                         "system")
+    A, B0, B1 = linearize_step(system)
+    M = current_forms(system)               # (nb, Nv, Nv)
+    n = A.shape[0]
+    ncs = [b.nc for b in baths]
+    m = sum(ncs)
+    nmd, dt = system.nmd, system.dt
+    h = nmd // 2
+
+    U = [np.asarray(b.nevecs, np.complex128) for b in baths]
+    S = [np.asarray(b.nstd, np.float64) for b in baths]
+    nb = len(baths)
+    out = np.zeros(nb)
+    eye = np.eye(n)
+    for k in range(h + 1):
+        th = 2.0 * np.pi * k / nmd
+        z = np.exp(-1j * th)
+        # P = [X; I; zI] @ blockdiag(U_k diag(s_k))
+        P_noise = np.zeros((m, m), np.complex128)
+        o = 0
+        for i in range(nb):
+            P_noise[o:o + ncs[i], o:o + ncs[i]] = U[i][k] * S[i][k]
+            o += ncs[i]
+        Bz = (B0 + z * B1) @ P_noise        # (n, m)
+        X = np.linalg.solve(z * eye - A, Bz)
+        P = np.concatenate([X, P_noise, z * P_noise], axis=0)  # (Nv, m)
+        a = (1.0 if k in (0, h) else 2.0) / (nmd * dt)
+        MP = np.einsum("bNV,Vk->bNk", M, P)
+        herm = np.einsum("bNk,Nk->b", MP, np.conjugate(P)).real
+        contrib = herm
+        if k in (0, h):
+            contrib = contrib + np.einsum("bNk,Nk->b", MP, P).real
+        out += (a * a / 2.0) * contrib
+        if progress and k % 1024 == 0:
+            print(f"  exact_gle line {k}/{h}", flush=True)
+    return out
+
+
+def _attractor_expected_schur(system, progress=False):
+    """Schur + rank-factored-form evaluation of the same sum (see
+    attractor_expected_currents). Per line: one triangular solve of
+    the complex-Schur system plus O(nc n m) products."""
+    from scipy.linalg import schur, solve_triangular
+
+    baths = system.baths
+    if any(getattr(b, "nstd", None) is None for b in baths):
+        raise ValueError("baths must carry PSD factors: call "
+                         "bath.prepare_noise() before building the "
+                         "system")
+    A, B0, B1 = linearize_step(system)
+    Es, Gs = current_rank1_forms(system)
+    n = A.shape[0]
+    ncs = [b.nc for b in baths]
+    m = sum(ncs)
+    nb = len(baths)
+    nmd, dt = system.nmd, system.dt
+    h = nmd // 2
+
+    T, Q = schur(A.astype(np.complex128), output="complex")
+    Qh = Q.conj().T
+    K0, K1 = Qh @ B0, Qh @ B1               # (n, m)
+    EQ = [Es[b][:, :n] @ Q for b in range(nb)]
+    GQ = [Gs[b][:, :n] @ Q for b in range(nb)]
+    E0 = [Es[b][:, n:n + m] for b in range(nb)]
+    E1 = [Es[b][:, n + m:] for b in range(nb)]
+    # G selects pre-step lead velocities from x: no noise dependence
+
+    U = [np.asarray(b.nevecs, np.complex128) for b in baths]
+    S = [np.asarray(b.nstd, np.float64) for b in baths]
+    offs = np.concatenate([[0], np.cumsum(ncs)]).astype(int)
+    out = np.zeros(nb)
+    eyed = np.eye(n, dtype=np.complex128)
+    for k in range(h + 1):
+        th = 2.0 * np.pi * k / nmd
+        z = np.exp(-1j * th)
+        Pn = np.zeros((m, m), np.complex128)
+        for i in range(nb):
+            Pn[offs[i]:offs[i + 1], offs[i]:offs[i + 1]] = \
+                U[i][k] * S[i][k]
+        C = (K0 + z * K1) @ Pn
+        Y = solve_triangular(z * eyed - T, C, lower=False)
+        a = (1.0 if k in (0, h) else 2.0) / (nmd * dt)
+        for b in range(nb):
+            EP = EQ[b] @ Y + (E0[b] + z * E1[b]) @ Pn
+            GP = GQ[b] @ Y
+            c = float(np.real(np.sum(EP * np.conj(GP))))
+            if k in (0, h):
+                c += float(np.real(np.sum(EP * GP)))
+            out[b] += (a * a / 2.0) * c
+        if progress and k % 256 == 0:
+            print(f"  exact_gle(schur) line {k}/{h}", flush=True)
+    return out

@@ -205,6 +205,92 @@ def test_classical_limit_conductance(key):
 
 
 @pytest.mark.slow
+def test_warm_start_conductance_matches_negf(key):
+    """The periodic-attractor warm estimator (the bench crosscheck's
+    production estimator) reproduces the Landauer current WITHOUT an
+    equilibration discard and at a short run length.
+
+    A cold antithetic start at this tier carries the DeltaT-odd
+    state-noise-correlation transient (flagship: +7.9% at nmd=2^13);
+    on the attractor the expected current is time-independent, so the
+    full period is averaged unbiased. End-to-end physics pin of
+    md.gle_step_jacobian / periodic_fixed_point / state_(un)ravel —
+    the deterministic TestPeriodicWarmStart covers only the fixed-point
+    property, not the measured observable."""
+    from sclmd_tpu.md import (gle_step_jacobian, period_power,
+                              periodic_fixed_point, state_ravel,
+                              state_unravel)
+
+    nph, k_spring = 8, 0.04
+    dt, nmd = 0.25 / 0.658, 2 ** 13
+    T, delta = 300.0, 0.5
+    TL, TR = T * (1 + delta / 2), T * (1 - delta / 2)
+    eta = 1.0 / (50 / 0.658)
+    dyn = np.asarray(chain_dynmat(nph, k_spring))
+    bathL, bathR = [0], [nph - 1]
+    nens = 48
+
+    def baths_at(Ta, Tb):
+        return (B.ebath(bathL, Ta, dt, nmd, wmax=1.0,
+                        efric=np.eye(1) * eta, dtype=jnp.float64),
+                B.ebath(bathR, Tb, dt, nmd, wmax=1.0,
+                        efric=np.eye(1) * eta, dtype=jnp.float64))
+
+    sys_template = make_system(dyn, list(baths_at(TL, TR)), dt, nmd)
+    A = gle_step_jacobian(sys_template)       # T-independent
+    AP = period_power(A, nmd)
+    keys = jax.random.split(key, (nens, 2))
+
+    def direction(Ta, Tb):
+        bl0, br0 = baths_at(Ta, Tb)
+
+        def one(ks):
+            bl = bl0.gnoi(ks[0]).replace(nevecs=None, nstd=None)
+            br = br0.gnoi(ks[1]).replace(nevecs=None, nstd=None)
+            sysb = make_system(dyn, [bl, br], dt, nmd)
+            fin1, _ = run_segment(sysb,
+                                  initial_state(sysb, dtype=jnp.float64),
+                                  nmd)
+            return sysb, fin1
+
+        js = []
+        for ks in keys:
+            sysb, fin1 = one(ks)
+            x0 = periodic_fixed_point(A, state_ravel(fin1), nmd,
+                                      power=AP)
+            stw = state_unravel(x0, sysb, dtype=jnp.float64)
+            _, ys = run_segment(sysb, stw, nmd)
+            cur = ys["cur"]                   # full period, no discard
+            js.append((float(jnp.mean(cur[:, 0]))
+                       - float(jnp.mean(cur[:, 1]))) / 2)
+        return np.asarray(js)
+
+    j = (direction(TL, TR) - direction(TR, TL)) / 2
+    j_md = float(j.mean())
+    sem = float(j.std() / np.sqrt(nens))
+    # the sharp reference is the EXACT attractor expectation at the
+    # same tier (ops.exact_gle): the 8-DOF chain's comb-grid bias at
+    # nmd=2^13 is large and oscillatory (-19.6% here, +3.4% at 2^14,
+    # -0.8% at 2^15 vs continuum Landauer), and the warm estimator
+    # must land on the attractor value to pure statistics
+    from sclmd_tpu.ops.exact_gle import attractor_expected_currents
+
+    sys_th = make_system(
+        dyn, [b.prepare_noise() for b in baths_at(TL, TR)], dt, nmd)
+    th = attractor_expected_currents(sys_th)
+    j_th = (th[0] - th[1]) / 2
+    j_negf = negf_current_natural(dyn, eta, bathL, bathR, TL, TR,
+                                  nw=4000)
+    print(f"\nwarm-start conductance: J_md={j_md:.5e} (SEM "
+          f"{sem / j_th * 100:.2f}%) vs exact-discrete {j_th:.5e} "
+          f"({(j_md - j_th) / j_th * 100:+.2f}%); continuum Landauer "
+          f"{j_negf:.5e} (comb bias "
+          f"{(j_th - j_negf) / j_negf * 100:+.2f}%)")
+    assert abs(j_md - j_th) < max(3 * sem, 0.01 * abs(j_th)), (
+        j_md, sem, j_th)
+
+
+@pytest.mark.slow
 def test_phonon_bath_conductance_matches_negf(key):
     """Debye PHONON baths (wideband Gamma = w_D pi/6) reproduce the
     Landauer current — end-to-end validation of the phbath path."""

@@ -1,0 +1,180 @@
+"""ops.exact_gle: zero-Monte-Carlo attractor expectation of the GLE
+bath currents — validated at three levels: (1) the per-line noise
+reconstruction against the real sampler draw-for-draw, (2) the exact
+expectation against warm-started MD ensembles at the SAME tier (they
+must agree to pure statistics, sharing every discretization effect),
+(3) the exact expectation against the continuum Landauer integral at a
+fine noise grid (the comb bias must be small)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sclmd_tpu import baths as B
+from sclmd_tpu.md import initial_state, run_segment
+from sclmd_tpu.models.harmonic import chain_dynmat
+from sclmd_tpu.ops import noise as NZ
+from sclmd_tpu.ops.exact_gle import (attractor_expected_currents,
+                                     current_forms, linearize_step)
+from tests.test_crosscheck import negf_current_natural
+from tests.test_md import make_system
+
+
+class TestPerLineReconstruction:
+    """The comb decomposition used by exact_gle must reproduce the real
+    sampler series draw-for-draw (pins a_m, the e^{-i th t} sign, and
+    the mirror/endpoint conventions)."""
+
+    @pytest.mark.parametrize("m_line", [0, 3, 8])
+    def test_single_line(self, m_line):
+        nmd, nc = 16, 2
+        h = nmd // 2
+        dt = 0.37
+        rng = np.random.default_rng(4)
+        evecs = (rng.normal(size=(h + 1, nc, nc))
+                 + 1j * rng.normal(size=(h + 1, nc, nc)))
+        std = np.zeros((h + 1, nc))
+        std[m_line] = [1.3, 0.7]
+        key = jax.random.PRNGKey(9)
+        xt = np.asarray(NZ.sample_noise(key, jnp.asarray(evecs),
+                                        jnp.asarray(std), dt, nmd))
+        # reproduce the Gaussian draws exactly as the sampler makes them
+        r = np.asarray(jax.random.normal(key, std.shape,
+                                         dtype=jnp.asarray(std).dtype)
+                       ) * std
+        u = evecs[m_line] @ r[m_line]
+        a = (1.0 if m_line in (0, h) else 2.0) / (nmd * dt)
+        t = np.arange(nmd)
+        manual = a * np.real(np.outer(
+            np.exp(-2j * np.pi * m_line * t / nmd), u))
+        np.testing.assert_allclose(xt, manual, atol=1e-12)
+
+    def test_full_spectrum(self):
+        nmd, nc = 32, 3
+        h = nmd // 2
+        dt = 0.8
+        rng = np.random.default_rng(11)
+        evecs = (rng.normal(size=(h + 1, nc, nc))
+                 + 1j * rng.normal(size=(h + 1, nc, nc)))
+        std = np.abs(rng.normal(size=(h + 1, nc)))
+        key = jax.random.PRNGKey(3)
+        xt = np.asarray(NZ.sample_noise(key, jnp.asarray(evecs),
+                                        jnp.asarray(std), dt, nmd))
+        r = np.asarray(jax.random.normal(key, std.shape,
+                                         dtype=jnp.asarray(std).dtype)
+                       ) * std
+        t = np.arange(nmd)
+        manual = np.zeros((nmd, nc))
+        for m in range(h + 1):
+            u = evecs[m] @ r[m]
+            a = (1.0 if m in (0, h) else 2.0) / (nmd * dt)
+            manual += a * np.real(np.outer(
+                np.exp(-2j * np.pi * m * t / nmd), u))
+        np.testing.assert_allclose(xt, manual, atol=1e-12)
+
+
+def _chain(nmd, TL, TR, dt=0.25 / 0.658, nph=8, eta=1.0 / (50 / 0.658)):
+    dyn = np.asarray(chain_dynmat(nph, 0.04))
+    ebl = B.ebath([0], TL, dt, nmd, wmax=1.0, efric=np.eye(1) * eta,
+                  dtype=jnp.float64).prepare_noise()
+    ebr = B.ebath([nph - 1], TR, dt, nmd, wmax=1.0,
+                  efric=np.eye(1) * eta,
+                  dtype=jnp.float64).prepare_noise()
+    return make_system(dyn, [ebl, ebr], dt, nmd), dyn, eta
+
+
+class TestExpectedCurrents:
+    def test_quadratic_form_reproduces_cur(self, key):
+        """v^T M v equals the integrator's reported current at a random
+        (state, noise) point — the form extraction is exact."""
+        from sclmd_tpu.md import MDState, vv_step
+
+        system, _, _ = _chain(64, 330.0, 270.0)
+        system = system.replace(baths=tuple(
+            b.gnoi(jax.random.fold_in(key, i)).replace(
+                nevecs=None, nstd=None)
+            for i, b in enumerate(system.baths)))
+        M = current_forms(system)
+        n = (2 + system.ml + 1) * system.nph
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=n)
+        xi0 = rng.normal(size=2)
+        xi1 = rng.normal(size=2)
+        v = np.concatenate([x, xi0, xi1])
+        want = np.array([v @ M[b] @ v for b in range(2)])
+
+        nph, ml = system.nph, system.ml
+        st = MDState(t=jnp.asarray(0, jnp.int32),
+                     p=jnp.asarray(x[:nph]),
+                     q=jnp.asarray(x[nph:2 * nph]),
+                     phis=jnp.asarray(
+                         x[2 * nph:(2 + ml) * nph].reshape(ml, nph)),
+                     qhis=jnp.asarray(x[(2 + ml) * nph:].reshape(1, nph)))
+        rows = ((jnp.asarray(xi0[:1]), jnp.asarray(xi1[:1])),
+                (jnp.asarray(xi0[1:]), jnp.asarray(xi1[1:])))
+        _, out = vv_step(system, st, noise_rows=rows)
+        np.testing.assert_allclose(np.asarray(out["cur"]), want,
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_matches_md_ensemble_same_tier(self, key):
+        """Warm-started MD ensemble mean == exact expectation at the
+        SAME (coarse) tier, within pure statistics — both share every
+        discretization effect, so agreement is tier-independent."""
+        from sclmd_tpu.md import (gle_step_jacobian, period_power,
+                                  periodic_fixed_point, state_ravel,
+                                  state_unravel)
+
+        nmd = 2 ** 11
+        system, _, _ = _chain(nmd, 345.0, 255.0)
+        theory = attractor_expected_currents(system)
+        j_th = (theory[0] - theory[1]) / 2
+
+        A = gle_step_jacobian(system)
+        AP = period_power(A, nmd)
+        nens = 24
+        keys = jax.random.split(key, (nens, 2))
+        js = []
+        for ks in keys:
+            sysb = system.replace(baths=tuple(
+                b.gnoi(k).replace(nevecs=None, nstd=None)
+                for b, k in zip(system.baths, ks)))
+            fin1, _ = run_segment(sysb,
+                                  initial_state(sysb, dtype=jnp.float64),
+                                  nmd)
+            x0 = periodic_fixed_point(A, state_ravel(fin1), nmd,
+                                      power=AP)
+            _, ys = run_segment(
+                sysb, state_unravel(x0, sysb, dtype=jnp.float64), nmd)
+            cur = np.asarray(ys["cur"])
+            js.append((cur[:, 0].mean() - cur[:, 1].mean()) / 2)
+        js = np.asarray(js)
+        sem = js.std() / np.sqrt(nens)
+        assert abs(js.mean() - j_th) < 4 * sem, (js.mean(), j_th, sem)
+
+    def test_schur_rank1_path_matches_dense(self):
+        """The flagship-scale evaluation path (complex Schur + factored
+        rank-nc current forms) equals the dense quadratic-form path to
+        roundoff."""
+        system, _, _ = _chain(2 ** 10, 320.0, 280.0)
+        dense = attractor_expected_currents(system, method="dense")
+        fast = attractor_expected_currents(system, method="schur")
+        np.testing.assert_allclose(fast, dense, rtol=1e-7)
+
+    @pytest.mark.slow
+    def test_matches_landauer_at_fine_grid(self):
+        """At a fine noise grid the exact discrete expectation lands on
+        the continuum Landauer integral (comb bias < 2%) — closing the
+        theory <-> NEGF side deterministically, no Monte Carlo."""
+        nmd = 2 ** 15
+        T, delta = 300.0, 0.5
+        TL, TR = T * (1 + delta / 2), T * (1 - delta / 2)
+        system, dyn, eta = _chain(nmd, TL, TR)
+        theory = attractor_expected_currents(system)
+        j_th = (theory[0] - theory[1]) / 2
+        j_negf = negf_current_natural(dyn, eta, [0], [7], TL, TR,
+                                      nw=4000)
+        dev = (j_th - j_negf) / j_negf
+        print(f"\nexact-discrete vs Landauer: {dev * 100:+.3f}%")
+        assert abs(dev) < 0.02, (j_th, j_negf, dev)
