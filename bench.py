@@ -43,8 +43,23 @@ BASELINE_STEPS_PER_SEC = 12.5
 
 
 def _sync(x):
+    """Force completion INCLUDING a device->host result transfer.
+
+    On the axon tunnel, ``jax.block_until_ready`` on device-resident
+    outputs can return in ~30 us without the program having executed
+    (measured: a 2048-step segment "timed" at 0.18 ms against a real
+    ~105 ms, and the trivial-jit dispatch floor itself collapsed from
+    ~30 ms to 0.03 ms once the args were device-resident — the enqueue
+    is acknowledged, not completed). Pulling one small output leaf to
+    host is completion proof: the leaf cannot materialise before its
+    program ran. Keep output leaves small — this is the verify-skill
+    rule "force a host transfer before trusting a timing"."""
     import jax
-    jax.block_until_ready(x)
+    leaves = jax.tree_util.tree_leaves(x)
+    if leaves:
+        np.asarray(leaves[-1])
+    else:
+        jax.block_until_ready(x)
     return x
 
 
@@ -116,14 +131,21 @@ def primary(jax, jnp):
     # medians came out impossible — regen "faster" than scan-only) ----
     bl = pbl.gnoi_np(2).replace(nevecs=None, nstd=None)
     br = pbr.gnoi_np(3).replace(nevecs=None, nstd=None)
+    # device-put the bath pytrees ONCE: numpy jit args re-transit the
+    # tunnel per call (~10 ms for the two noise series here), which
+    # taxed scan-only but not regen (whose baths are device-resident
+    # sampler outputs) — the source of the recurring "regen faster
+    # than scan-only" ordering violations
+    bl, br = jax.device_put((bl, br))
+    dyn_d, mask_d = jax.device_put((dyn, mask))
     f1 = scan_run(64)
-    out = _sync(f1(dyn, mask, bl, br))                # compile
+    out = _sync(f1(dyn_d, mask_d, bl, br))            # compile
     _, jl, jr, finite = out[0], out[1], out[2], out[3]
 
     seed = [0]
 
     def scan_only():
-        return f1(dyn, mask, bl, br)
+        return f1(dyn_d, mask_d, bl, br)
 
     def regen_dev():
         seed[0] += 1
@@ -132,13 +154,13 @@ def primary(jax, jnp):
             nevecs=None, nstd=None)
         br2 = pbr.gnoi(jax.random.fold_in(k, 1)).replace(
             nevecs=None, nstd=None)
-        return f1(dyn, mask, bl2, br2)
+        return f1(dyn_d, mask_d, bl2, br2)
 
     def regen_host():
         seed[0] += 1
         bl2 = pbl.gnoi_np(10 + seed[0]).replace(nevecs=None, nstd=None)
         br2 = pbr.gnoi_np(20 + seed[0]).replace(nevecs=None, nstd=None)
-        return f1(dyn, mask, bl2, br2)
+        return f1(dyn_d, mask_d, bl2, br2)
 
     _sync(regen_dev())                                  # compile sampler
     # physical floor: one tunnel round-trip of a trivial program. A
@@ -193,17 +215,24 @@ def primary(jax, jnp):
             return jnp.mean(curs, axis=0), fins.all()
         return f
 
-    bl0 = pbl.replace(nevecs=None, nstd=None, noise=None)
-    br0 = pbr.replace(nevecs=None, nstd=None, noise=None)
+    bl0, br0 = jax.device_put(
+        (pbl.replace(nevecs=None, nstd=None, noise=None),
+         pbr.replace(nevecs=None, nstd=None, noise=None)))
     ens = {}
     for ntraj in (32, 256):
         nzL = np.stack([np.asarray(pbl.gnoi_np(100 + i).noise)
                         for i in range(ntraj)])
         nzR = np.stack([np.asarray(pbr.gnoi_np(10000 + i).noise)
                         for i in range(ntraj)])
+        # device-put ONCE: numpy jit args re-transit the tunnel every
+        # call, so the r1/r2 "raw ensemble" metric actually timed a
+        # ~380 MB host->device transfer (87k traj-steps/s) instead of
+        # the program (~300k; the e2e primary_scaling section, which
+        # synthesizes noise on device, showed the gap)
+        nzL, nzR = jax.device_put((nzL, nzR))
         f = ens_run(256, ntraj)
-        _sync(f(dyn, mask, bl0, br0, nzL, nzR))
-        t_med, _ = _timed(lambda: f(dyn, mask, bl0, br0, nzL, nzR),
+        _sync(f(dyn_d, mask_d, bl0, br0, nzL, nzR))
+        t_med, _ = _timed(lambda: f(dyn_d, mask_d, bl0, br0, nzL, nzR),
                           reps=5 if ntraj <= 32 else 3)
         ens[ntraj] = round(ntraj * nmd / t_med, 1)
     return {

@@ -32,7 +32,15 @@ def _timed(fn, reps=5):
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        out = fn()
+        # completion proof: pull one small leaf to host.
+        # block_until_ready on device-resident outputs can return
+        # WITHOUT execution on the axon tunnel (bench.py:_sync).
+        leaves = jax.tree_util.tree_leaves(out)
+        if leaves:
+            np.asarray(leaves[-1])
+        else:
+            jax.block_until_ready(out)
         ts.append(time.perf_counter() - t0)
     ts.sort()
     return ts[len(ts) // 2]
