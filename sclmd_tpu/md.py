@@ -160,6 +160,13 @@ def steady_mode_temps(evecs, baths, T, hw=None):
     """
     U_ = np.asarray(evecs, np.float64)
     nm = U_.shape[1]
+    temps = [float(b.T) for b in baths]
+    if temps and all(t == temps[0] for t in temps):
+        # equal bath temperatures: the steady profile IS uniform —
+        # return the exact temperature so steady_init reproduces the
+        # reference-shaped start BITWISE (the weighted average below
+        # would differ by ~1 ulp and amplify through the integration)
+        return np.full(nm, temps[0])
     num = np.zeros(nm)
     den = np.zeros(nm)
     for b in baths:
@@ -221,51 +228,13 @@ def gle_step_jacobian(system: GLESystem) -> np.ndarray:
     For a harmonic system the velocity-Verlet step (vv_step) is exactly
     affine, x_{t+1} = A x_t + (noise terms), so A fully characterizes
     the homogeneous dynamics — including the mask constraint and the
-    Markovian/memory bath friction. Built by jax.jacfwd on the host CPU
-    backend in f64 (one traced program; setup-side work by the
-    project's host-setup invariant). Used by ``periodic_fixed_point``.
+    Markovian/memory bath friction. Thin wrapper over
+    ops.exact_gle.linearize_step (one shared implementation of the
+    host-f64 jacfwd machinery). Used by ``periodic_fixed_point``.
     """
-    import contextlib
+    from sclmd_tpu.ops.exact_gle import linearize_step
 
-    sys0 = system.replace(baths=tuple(
-        b.replace(noise=None, nevecs=None, nstd=None)
-        for b in system.baths))
-
-    def cast(x):
-        a = np.asarray(x)
-        return (a.astype(np.float64)
-                if np.issubdtype(a.dtype, np.floating) else a)
-
-    sys0 = jax.tree_util.tree_map(cast, sys0)
-    nph, ml = sys0.nph, sys0.ml
-    n = (2 + ml + 1) * nph
-
-    def stepv(x):
-        # zero noise rows built INSIDE the traced function so they pick
-        # up the x64 context (module scope would truncate to f32)
-        zero_rows = tuple((jnp.zeros((b.nc,), x.dtype),) * 2
-                          for b in sys0.baths)
-        st = MDState(t=jnp.asarray(0, jnp.int32),
-                     p=x[:nph], q=x[nph:2 * nph],
-                     phis=x[2 * nph:(2 + ml) * nph].reshape(ml, nph),
-                     qhis=x[(2 + ml) * nph:].reshape(1, nph))
-        new, _ = vv_step(sys0, st, noise_rows=zero_rows)
-        return jnp.concatenate([new.p, new.q, new.phis.ravel(),
-                                new.qhis.ravel()])
-
-    try:
-        cpu = jax.local_devices(backend="cpu")[0]
-    except RuntimeError:
-        cpu = None
-    ctx_dev = (jax.default_device(cpu) if cpu is not None
-               else contextlib.nullcontext())
-    ctx64 = (jax.enable_x64(True)
-             if cpu is not None and not jax.config.jax_enable_x64
-             else contextlib.nullcontext())
-    with ctx_dev, ctx64:
-        A = jax.jit(jax.jacfwd(stepv))(jnp.zeros((n,), jnp.float64))
-        A = np.asarray(A, np.float64)
-    return A
+    return linearize_step(system)[0]
 
 
 def period_power(A, nperiod: int) -> np.ndarray:
@@ -1167,7 +1136,8 @@ class md:
         if block and seg % block:
             block = None
         if chunk is None:
-            chunk = auto_chunk(system, ntraj, nsteps, block)
+            chunk = auto_chunk(system, ntraj, nsteps, block,
+                               depth=1 if checkpoint else 2)
         chunk = max(1, min(int(chunk), ntraj))
 
         # one noise key + one init key for the WHOLE ensemble, consumed
@@ -1228,6 +1198,11 @@ class md:
                     nevecs=None, nstd=None)
                 for i in range(nb)))
 
+        T_init = self.T
+        if thermal and steady_init and self.baths:
+            T_init = jnp.asarray(
+                steady_mode_temps(self.U, self.baths, self.T,
+                                  hw=np.asarray(self.hw)), self.dtype)
         first_final = None
         nchunks = -(-ntraj // chunk)
         pending = []
@@ -1252,13 +1227,6 @@ class md:
                 bsys = ensemble_noise(sys_f, noise_key, ntraj,
                                       lo=c0, hi=c1)
                 if thermal:
-                    T_init = self.T
-                    if steady_init and self.baths:
-                        T_init = jnp.asarray(
-                            steady_mode_temps(self.U, self.baths,
-                                              self.T,
-                                              hw=np.asarray(self.hw)),
-                            self.dtype)
                     finals = ensemble_states(
                         bsys, ntraj, key=init_key,
                         hw=jnp.asarray(self.hw, self.dtype),
@@ -1281,12 +1249,15 @@ class md:
                     # pipelined path: defer host materialization so the
                     # next chunk's noise synthesis + run enqueue while
                     # this one executes (the blocking bool() here cost
-                    # ~17% at ntraj=1024/chunk=256 — 260k vs 314k
-                    # traj-steps/s). Depth capped at 2 in-flight chunks
-                    # so peak HBM stays ~2 chunk footprints.
+                    # ~17% at ntraj=1024/chunk=256 — 260k vs 347k
+                    # traj-steps/s). Draining past ONE pending entry
+                    # bounds live device state to ~2 chunk footprints
+                    # (the executing chunk + the one being enqueued) —
+                    # auto_chunk sizes chunks against HALF the HBM
+                    # budget to account for this.
                     pending.append((c0, c1, ic, i, lo, seg, seg_sum,
                                     ok))
-                    while len(pending) > 2:
+                    while len(pending) > 1:
                         _drain(pending.pop(0))
                     continue
                 if not bool(np.asarray(ok)):

@@ -117,18 +117,25 @@ def estimate_traj_bytes(system: GLESystem, nsteps: int,
 
 def auto_chunk(system: GLESystem, ntraj: int, nsteps: int,
                block: Optional[int] = None,
-               budget_bytes: Optional[int] = None) -> int:
+               budget_bytes: Optional[int] = None,
+               depth: int = 1) -> int:
     """Largest trajectory-chunk size that fits the HBM budget.
 
     Budget: ``SCLMD_HBM_BUDGET_GB`` env var, default 4 GiB (conservative
     for the shared-tunnel chip; a dedicated v5e has ~16 GiB). Chunks are
     additionally capped at 512 — measured throughput on both the primary
     and flagship workloads saturates by ~256-512 and the 1024-trajectory
-    batch DEGRADES (docs/PERF.md), so bigger chunks only add risk."""
+    batch DEGRADES (docs/PERF.md), so bigger chunks only add risk.
+
+    ``depth``: number of chunk footprints live at once — 2 when
+    md.RunEnsemble pipelines (checkpoint=False: the executing chunk
+    plus the one being enqueued); the budget is divided by it.
+    """
     import os
     if budget_bytes is None:
         gb = float(os.environ.get("SCLMD_HBM_BUDGET_GB", "4"))
         budget_bytes = int(gb * 2 ** 30)
+    budget_bytes //= max(1, int(depth))
     per = max(estimate_traj_bytes(system, nsteps, block), 1)
     chunk = max(1, min(budget_bytes // per, 512))
     if chunk >= ntraj:

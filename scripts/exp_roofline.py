@@ -338,8 +338,9 @@ def flagship():
         cost = dict(c) if c else {}
     except Exception:
         cost = {}
-    jax.block_until_ready(
-        _ensemble_segment(system, states, nmd, 0, None)[0].p)
+    # warm-up with completion proof (block_until_ready can return
+    # without execution on this tunnel — see _timed)
+    np.asarray(_ensemble_segment(system, states, nmd, 0, None)[0].t)
     t_med = _timed(
         lambda: _ensemble_segment(system, states, nmd, 0, None)[0].p,
         reps=3)
