@@ -121,8 +121,10 @@ def auto_chunk(system: GLESystem, ntraj: int, nsteps: int,
                depth: int = 1) -> int:
     """Largest trajectory-chunk size that fits the HBM budget.
 
-    Budget: ``SCLMD_HBM_BUDGET_GB`` env var, default 4 GiB (conservative
-    for the shared-tunnel chip; a dedicated v5e has ~16 GiB). Chunks are
+    Budget: ``SCLMD_HBM_BUDGET_GB`` env var, default 8 GiB (the v5e
+    has ~16 GiB; the depth-2 pipelined default then budgets 4 GiB per
+    chunk — exactly the configuration the round-3 bench validated at
+    chunk=256 with two chunks in flight). Chunks are
     additionally capped at 512 — measured throughput on both the primary
     and flagship workloads saturates by ~256-512 and the 1024-trajectory
     batch DEGRADES (docs/PERF.md), so bigger chunks only add risk.
@@ -133,7 +135,7 @@ def auto_chunk(system: GLESystem, ntraj: int, nsteps: int,
     """
     import os
     if budget_bytes is None:
-        gb = float(os.environ.get("SCLMD_HBM_BUDGET_GB", "4"))
+        gb = float(os.environ.get("SCLMD_HBM_BUDGET_GB", "8"))
         budget_bytes = int(gb * 2 ** 30)
     budget_bytes //= max(1, int(depth))
     per = max(estimate_traj_bytes(system, nsteps, block), 1)
