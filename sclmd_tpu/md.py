@@ -1136,8 +1136,12 @@ class md:
         if block and seg % block:
             block = None
         if chunk is None:
-            chunk = auto_chunk(system, ntraj, nsteps, block,
-                               depth=1 if checkpoint else 2)
+            # depth=2 on BOTH paths: the pipelined path has two chunk
+            # footprints live (executing + enqueued), and the
+            # checkpoint path keeps the conservative 4 GiB-per-chunk
+            # sizing the round-3 bench validated (an 8 GiB checkpoint
+            # chunk was never bench-validated on the shared chip)
+            chunk = auto_chunk(system, ntraj, nsteps, block, depth=2)
         chunk = max(1, min(int(chunk), ntraj))
 
         # one noise key + one init key for the WHOLE ensemble, consumed
@@ -1212,8 +1216,10 @@ class md:
             if not bool(np.asarray(dok)):
                 raise FloatingPointError(
                     "RunEnsemble: non-finite heat currents in "
-                    f"chunk {dic} segment {di} — reduce dt or check "
-                    "the force driver")
+                    f"chunk {dic} segment {di} (pipelined path: "
+                    "detection is deferred by one segment, so the "
+                    "following chunk/segment was already enqueued) — "
+                    "reduce dt or check the force driver")
             if dlo < dseg:
                 cur_sum[d0:d1] += np.asarray(dsum)
 

@@ -72,20 +72,18 @@ def _with_cpu_x64():
         cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         cpu = None
-    if cpu is None and not jax.config.jax_enable_x64:
-        # refuse to degrade: without a CPU backend the f64 request
-        # would silently truncate to f32 on the accelerator (A and A^P
-        # would carry ~1e-7 error amplified by the period power, and
-        # tracing a 2412-tangent jacfwd on the tunnel is hostile)
+    if cpu is None:
+        # refuse to degrade: without a CPU backend the work would run
+        # on the accelerator — TPU has no native f64 (A and A^P would
+        # carry ~1e-7 error amplified by the period power) and tracing
+        # a 2412-tangent jacfwd on the tunnel is hostile — regardless
+        # of whether x64 happens to be enabled
         raise RuntimeError(
             "exact_gle/gle_step_jacobian need the host CPU backend in "
             "f64, but jax_platforms is restricted to a non-CPU backend "
-            "and jax_enable_x64 is off — unset SCLMD_PLATFORM "
-            "restriction or enable x64 before calling")
-    ctx_dev = (jax.default_device(cpu) if cpu is not None
-               else contextlib.nullcontext())
-    ctx64 = (jax.enable_x64(True)
-             if cpu is not None and not jax.config.jax_enable_x64
+            "— unset the SCLMD_PLATFORM restriction before calling")
+    ctx_dev = jax.default_device(cpu)
+    ctx64 = (jax.enable_x64(True) if not jax.config.jax_enable_x64
              else contextlib.nullcontext())
     return ctx_dev, ctx64
 

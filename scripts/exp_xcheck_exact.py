@@ -75,6 +75,13 @@ def main():
           f"({wall:.0f} s)")
     print(f"vs continuum Landauer {float(negf['kappa_nw_per_k']):.5f} "
           f"nW/K: comb/discretization bias {dev * 100:+.2f}%")
+    # cache the deterministic theory value so the bench's anharmonic
+    # control-variate estimator (kappa_anh = mean(J_anh - J_harm) +
+    # kappa_exact) and PERF.md cite a reproducible artifact
+    np.savez(os.path.join(HERE, f"flagship_exact_nmd{nmd}.npz"),
+             j_currents=np.asarray(th), j_nat=j_th, nmd=nmd,
+             kappa_nw_per_k=j_th / (xc.T * xc.DELTA) * U.CURCOF,
+             wall_s=wall)
 
 
 if __name__ == "__main__":

@@ -1,7 +1,7 @@
 """Example smoke tests: each reference-workload counterpart must run
 end-to-end on CPU (SCLMD_PLATFORM=cpu) in a clean directory.
 
-All 7 runnable workloads are covered: the flagship runmd and the bias
+All 8 runnable workloads are covered: the flagship runmd and the bias
 workload rundp run in their --quick configurations."""
 
 import os
@@ -18,6 +18,7 @@ QUICK_EXAMPLES = [
     ("ensemble.py", []),
     ("runeam.py", ["--quick"]),
     ("runmd.py", ["--quick"]),
+    ("runnegf.py", []),
     (os.path.join("current_induced", "runnegf.py"), []),
     (os.path.join("current_induced", "rundp.py"), ["--quick"]),
 ]
