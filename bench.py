@@ -279,19 +279,32 @@ def primary_scaling(jax, jnp):
                            dtype=jnp.float32))
         return r
 
+    from sclmd_tpu.parallel.ensemble import auto_chunk
+
     out = {}
+    runners = {}
+    fns = {}
     for ntraj in (256, 1024):
         tmp = tempfile.mkdtemp(prefix=f"bench_scale{ntraj}_")
         runner = build(tmp)
-        from sclmd_tpu.parallel.ensemble import auto_chunk
-        chunk = auto_chunk(runner._build_system(), ntraj, nmd, 256)
+        # depth=2 matches what RunEnsemble(checkpoint=False) computes
+        # internally — the logged chunk must be the chunk actually used
+        chunk = auto_chunk(runner._build_system(), ntraj, nmd, 256,
+                           depth=2)
         runner.RunEnsemble(ntraj, nsteps=nmd)            # compile
-        t_med, _ = _timed(lambda: runner.RunEnsemble(ntraj, nsteps=nmd),
-                          reps=2)
-        out[str(ntraj)] = {"tsps": round(ntraj * nmd / t_med, 1),
-                           "chunk": int(chunk)}
-    out["monotone_through_1024"] = (
-        out["1024"]["tsps"] >= 0.85 * out["256"]["tsps"])
+        runners[ntraj] = runner
+        out[str(ntraj)] = {"chunk": int(chunk)}
+        fns[ntraj] = (lambda r=runner, n=ntraj:
+                      r.RunEnsemble(n, nsteps=nmd))
+    # interleaved, same rep count as the other sections: the two sizes
+    # see the same shared-chip drift (r3 ran reps=2 separate blocks on
+    # the one section making the memory-wall claim)
+    med = _timed_interleaved(fns, rounds=5)
+    for ntraj in (256, 1024):
+        out[str(ntraj)]["tsps"] = round(ntraj * nmd / med[ntraj], 1)
+    ratio = out["1024"]["tsps"] / out["256"]["tsps"]
+    out["ratio_1024_vs_256"] = round(ratio, 3)
+    out["within_15pct_of_256"] = ratio >= 0.85
     return out
 
 
@@ -403,16 +416,49 @@ def flagship(jax, jnp):
     res["tsps"] = round(ntraj * nmd / t_med, 1)
     res["ntraj"] = ntraj
 
-    # memory-wall point: 1024 trajectories, auto-chunked
+    # memory-wall point: 1024 trajectories, auto-chunked (depth=2 —
+    # the chunk RunEnsemble's pipelined path actually uses)
     from sclmd_tpu.parallel.ensemble import auto_chunk
-    chunk = auto_chunk(runner._build_system(), 1024, nmd, None)
+    chunk = auto_chunk(runner._build_system(), 1024, nmd, None, depth=2)
     runner.RunEnsemble(1024, nsteps=nmd)           # compile chunk batch
     t_med, _ = _timed(lambda: runner.RunEnsemble(1024, nsteps=nmd),
-                      reps=2)
+                      reps=3)
     res["tsps_1024"] = round(1024 * nmd / t_med, 1)
     res["chunk_1024"] = int(chunk)
-    res["monotone_through_1024"] = res["tsps_1024"] >= 0.85 * res["tsps"]
+    ratio = res["tsps_1024"] / res["tsps"]
+    res["ratio_1024_vs_128"] = round(ratio, 3)
+    res["within_15pct_of_128"] = ratio >= 0.85
     return res
+
+
+XC_T, XC_DELTA = 300.0, 0.1
+XC_DT = 0.25 / 0.658
+XC_DAMP_NAT = 100 / 0.658211814201041       # 100 fs in natural time
+NEGF_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "flagship_negf.npz")
+
+
+def _flagship_build(axyz, part, dyn, nmd, seed, jnp):
+    """build(Ta, Tb) callback for parallel.ensemble.antithetic_run on
+    the flagship structure.data junction (same setup as
+    scripts/exp_crosscheck_flagship.py)."""
+    import tempfile
+
+    from sclmd_tpu import baths as B
+    from sclmd_tpu.md import md as MDRunner
+
+    def build(Ta, Tb):
+        runner = MDRunner(XC_DT, nmd, XC_T, axyz=axyz, dyn=dyn,
+                          dtype=jnp.float32, seed=seed,
+                          outdir=tempfile.mkdtemp(prefix="bench_xc_"))
+        for cats, tt in ((part["ecatsl"], Ta), (part["ecatsr"], Tb)):
+            eta = (1.0 / XC_DAMP_NAT) * np.identity(len(cats))
+            runner.AddBath(B.ebath(cats, tt, runner.dt, runner.nmd,
+                                   wmax=1.0, nw=500, efric=eta))
+        runner.AddConstr([part["fixdofs"]])
+        return runner
+
+    return build
 
 
 def crosscheck(jax, jnp):
@@ -422,47 +468,51 @@ def crosscheck(jax, jnp):
     (ref README.md:31-35, examples/runmd.py vs examples/runnegf.py) as a
     driver-visible number. Uses the harmonic variant (MD on the junction
     dynamical matrix MUST reproduce harmonic NEGF — an absolute
-    correctness gate, not a statistical one) with the antithetic
-    common-random-numbers estimator warm-started ON the discrete
-    periodic attractor (md.periodic_fixed_point): a cold start carries
-    a DeltaT-odd state-noise-correlation transient measured at +7.9%
-    (nmd=2^13) falling only like 1/T_run — the warm start removes it
-    exactly, leaving the comb-grid residual (-0.59% measured at this
-    tier, inside the 2% north-star bar with SEM ~1.6%). The NEGF side
-    and the relaxed geometry are precomputed on CPU
+    correctness gate, not a statistical one) with the packaged
+    antithetic common-random-numbers estimator warm-started ON the
+    discrete periodic attractor
+    (sclmd_tpu.parallel.ensemble.antithetic_run — the in-package API,
+    VERDICT r3 item 3): a cold start carries a DeltaT-odd
+    state-noise-correlation transient measured at +7.9% (nmd=2^13)
+    falling only like 1/T_run — the warm start removes it exactly,
+    leaving the comb-grid residual (-0.59% measured at this tier,
+    inside the 2% north-star bar with SEM ~1.6%). The NEGF side and the
+    relaxed geometry are precomputed on CPU
     (scripts/exp_crosscheck_flagship.py relax/negf phases) and cached
     in-repo."""
-    import importlib.util
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    spec = importlib.util.spec_from_file_location(
-        "exp_crosscheck_flagship",
-        os.path.join(here, "scripts", "exp_crosscheck_flagship.py"))
-    xc = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(xc)
-    if not os.path.exists(xc.NEGF_CACHE):
-        return None
+    if not os.path.exists(NEGF_CACHE):
+        # LOUD skip: the headline physics number must not silently
+        # vanish from the bench JSON when the committed NEGF cache is
+        # missing (deleted/renamed scripts/flagship_negf.npz)
+        return {"crosscheck_skipped": True,
+                "reason": f"NEGF cache missing: {NEGF_CACHE}"}
     from sclmd_tpu import units as U
+    from sclmd_tpu.parallel.ensemble import antithetic_run
     from sclmd_tpu.utils.junction import partition_by_axis
 
-    axyz = xc.load_axyz()
+    negf = np.load(NEGF_CACHE)
+    axyz = [[str(e)] + list(map(float, p))
+            for e, p in zip(negf["els"], negf["pos"])]
     part = partition_by_axis(axyz)
-    ntraj, nmd = 32, 2 ** 14
+    dyn = negf["dyn_ev2"]
+    ntraj, nmd, seed = 32, 2 ** 14, 11
+    TL, TR = XC_T * (1 + XC_DELTA / 2), XC_T * (1 - XC_DELTA / 2)
     t0 = time.time()
-    j = np.asarray(xc.md_antithetic_warm(axyz, part, ntraj, nmd,
-                                         seed=11))
+    build = _flagship_build(axyz, part, dyn, nmd, seed, jnp)
+    j = np.asarray(antithetic_run(build, TL, TR, ntraj, nsteps=nmd,
+                                  seed=seed, warm_start=True))
     wall = time.time() - t0
-    negf = np.load(xc.NEGF_CACHE)
     j_md = float(j.mean())
     sem = float(j.std() / np.sqrt(len(j)))
     dev = (j_md - float(negf["j_nat"])) / float(negf["j_nat"])
     return {
-        "kappa_md_nw_per_k": round(j_md / (xc.T * xc.DELTA) * U.CURCOF, 5),
+        "kappa_md_nw_per_k": round(j_md / (XC_T * XC_DELTA) * U.CURCOF, 5),
         "kappa_negf_nw_per_k": round(float(negf["kappa_nw_per_k"]), 5),
         "dev_pct": round(dev * 100, 2),
         "sem_pct": round(sem / abs(float(negf["j_nat"])) * 100, 2),
         "ntraj": ntraj, "nmd": nmd, "wall_s": round(wall, 1),
-        "estimator": "antithetic CRN + periodic-attractor warm start",
+        "estimator": "antithetic CRN + periodic-attractor warm start "
+                     "(parallel.ensemble.antithetic_run)",
     }
 
 
@@ -553,8 +603,10 @@ def main():
         "flagship_traj_steps_per_sec_1024":
             None if fs is None else fs.get("tsps_1024"),
         "flagship_chunk_1024": None if fs is None else fs.get("chunk_1024"),
-        "flagship_monotone_through_1024":
-            None if fs is None else fs.get("monotone_through_1024"),
+        "flagship_ratio_1024_vs_128":
+            None if fs is None else fs.get("ratio_1024_vs_128"),
+        "flagship_within_15pct_of_128":
+            None if fs is None else fs.get("within_15pct_of_128"),
         "flagship_vs_reference_12p5":
             None if fs is None
             else round(fs["tsps"] / BASELINE_STEPS_PER_SEC, 1),
@@ -564,12 +616,22 @@ def main():
         "device": str(jax.devices()[0]),
     }
     xc = results.get("crosscheck")
-    if xc and "error" not in xc:
+    if xc is None or "error" in xc or xc.get("crosscheck_skipped"):
+        # loud: the headline physics number is missing — say why
+        result["crosscheck_skipped"] = True
+        result["crosscheck_skip_reason"] = (
+            "section produced no result" if xc is None
+            else xc.get("reason", xc.get("error", "unknown")))
+    else:
         result["crosscheck_kappa_md_nw_per_k"] = xc["kappa_md_nw_per_k"]
         result["crosscheck_kappa_negf_nw_per_k"] = \
             xc["kappa_negf_nw_per_k"]
         result["crosscheck_dev_pct"] = xc["dev_pct"]
         result["crosscheck_sem_pct"] = xc["sem_pct"]
+        for k in ("anh_kappa_md_nw_per_k", "anh_dev_pct", "anh_sem_pct",
+                  "anh_correction_pct", "anh_correction_sem_pct"):
+            if k in xc:
+                result["crosscheck_" + k] = xc[k]
     print(json.dumps(result))
 
 

@@ -28,6 +28,133 @@ from sclmd_tpu.md import GLESystem, MDState, initial_state, run_segment, \
     run_segment_blocked, thermal_init
 
 
+def _noisy_system(runner):
+    """The runner's hot system with every bath carrying PSD factors
+    (prepare_noise) so ensemble_noise samples on device."""
+    system = runner._build_system()
+    return system.replace(baths=tuple(
+        b if getattr(b, "nstd", None) is not None else b.prepare_noise()
+        for b in runner.baths))
+
+
+def antithetic_run(build, TL, TR, ntraj: int, nsteps: Optional[int] = None,
+                   seed: Optional[int] = None, warm_start: bool = True,
+                   equil_frac: float = 0.25, block: Optional[int] = None,
+                   pair=(0, 1), chunk: Optional[int] = None,
+                   steady_init: bool = False):
+    """Antithetic common-random-numbers conductance estimator — the
+    composition that produces the flagship crosscheck headline,
+    promoted from scripts/exp_crosscheck_flagship.py into the package.
+
+    Replaces the reference's entire Run -> kappa -> calTC validation
+    workflow (ref md.py:493-682 sequential ensemble + tools.py:166-215
+    kappa aggregation) with a variance-cancelled two-sided estimator:
+
+    * ``build(Ta, Tb) -> md`` constructs a fresh runner whose baths sit
+      at lead temperatures (Ta, Tb) — everything else identical.
+    * The forward (TL, TR) and reversed (TR, TL) ensembles draw their
+      colored noise from the SAME per-trajectory keys: the Gaussian
+      draws are identical and only the PSD temperature scaling differs,
+      so zero-point-scale fluctuations cancel in (J_fwd - J_rev)/2 down
+      to the DeltaT signal (pinned at tests/test_crosscheck.py).
+    * ``warm_start=True`` (harmonic systems): each trajectory runs ONE
+      zero-init noise period, the exact periodic point x* of its own
+      noise realisation is solved on host from the one-step Jacobian
+      (md.gle_step_jacobian — temperature-independent, so one Jacobian
+      + one binary period-power serves both directions), and the
+      measured period starts AT x*. Zero initial-condition transient
+      (the cold start's DeltaT-odd state-noise-correlation bias,
+      measured +7.9% at nmd=2^13 on the flagship), so the FULL period
+      is averaged with no equilibration discard; the expectation equals
+      ops.exact_gle.attractor_expected_currents exactly.
+
+    ``pair``: bath indices (hot, cold) whose current difference defines
+    J = (cur_hot - cur_cold) / 2. ``chunk`` bounds resident
+    trajectories (windows of the same key schedule: identical noise
+    draws, results equal to the unchunked run to solver roundoff — the
+    periodic-point lstsq sees a different RHS block width). ``seed``
+    defaults to the built
+    runner's own seed stream. Requires ``nsteps`` = the runner's nmd
+    when warm-starting (the attractor period IS the noise period).
+
+    Returns the per-trajectory-pair J estimates, shape (ntraj,):
+    mean() is the conductance current, std()/sqrt(ntraj) its SEM.
+    """
+    from sclmd_tpu.md import (_cur_reduce, gle_step_jacobian,
+                              period_power, periodic_fixed_point,
+                              state_ravel, state_unravel)
+
+    runner_f = build(TL, TR)
+    nsteps = nsteps or runner_f.nmd
+    nb = len(runner_f.baths)
+    if max(pair) >= nb:
+        raise ValueError(f"pair={pair} out of range for {nb} baths")
+
+    if not warm_start:
+        # cold path: the plain RunEnsemble estimator (thermal init +
+        # equilibration discard); CRN across directions comes from the
+        # runners sharing one seed -> identical key schedules
+        def one_direction(runner):
+            means = runner.RunEnsemble(ntraj, nsteps=nsteps,
+                                       equil_frac=equil_frac,
+                                       block=block, chunk=chunk,
+                                       steady_init=steady_init)
+            return (means[:, pair[0]] - means[:, pair[1]]) / 2
+
+        jf = one_direction(runner_f)
+        jr = one_direction(build(TR, TL))
+        return np.asarray(jf - jr) / 2
+
+    if nsteps != runner_f.nmd:
+        raise ValueError(
+            f"warm_start needs nsteps == nmd (the attractor period is "
+            f"the noise period); got nsteps={nsteps}, nmd="
+            f"{runner_f.nmd}")
+
+    # one-step Jacobian + A^P: temperature-independent (the affine
+    # map's homogeneous part has no noise), shared by both directions
+    A = gle_step_jacobian(runner_f._build_system())
+    AP = period_power(A, nsteps)
+
+    if seed is None:
+        key = runner_f._next_key()
+    else:
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), 99)
+
+    block_eff = block if block is not None else runner_f.block
+    if block_eff and nsteps % block_eff:
+        block_eff = None
+    chunk = int(chunk) if chunk else ntraj
+
+    def run_dir(runner):
+        system = runner._build_system()
+        sys_f = _noisy_system(runner)
+        dsum = np.zeros((ntraj,))
+        for c0 in range(0, ntraj, chunk):
+            c1 = min(c0 + chunk, ntraj)
+            bsys = ensemble_noise(sys_f, key, ntraj, lo=c0, hi=c1)
+            st0 = ensemble_states(bsys, ntraj, lo=c0, hi=c1)  # zeros
+            fin1, _ = ensemble_run(bsys, st0, nsteps, t0=0,
+                                   block=block_eff)
+            x0 = periodic_fixed_point(A, state_ravel(fin1), nsteps,
+                                      power=AP)
+            stw = state_unravel(x0, system, dtype=runner.dtype)
+            _, ys = ensemble_run(bsys, stw, nsteps, t0=0,
+                                 block=block_eff)
+            sums, ok = _cur_reduce(ys["cur"], 0)
+            if not bool(np.asarray(ok)):
+                raise FloatingPointError(
+                    f"antithetic_run: non-finite currents in "
+                    f"trajectories [{c0}:{c1}]")
+            sums = np.asarray(sums) / nsteps
+            dsum[c0:c1] = (sums[:, pair[0]] - sums[:, pair[1]]) / 2
+        return dsum
+
+    jf = run_dir(runner_f)
+    jr = run_dir(build(TR, TL))
+    return (jf - jr) / 2
+
+
 def make_mesh(axis_sizes: dict[str, int],
               devices: Optional[Sequence] = None) -> Mesh:
     """Build a Mesh from {'dp': n, 'tp': m}-style axis sizes."""

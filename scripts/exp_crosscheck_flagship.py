@@ -170,42 +170,23 @@ def md_antithetic(axyz, part, ntraj, nmd, seed, harmonic,
     return (jf - jr) / 2
 
 
-def md_antithetic_warm(axyz, part, ntraj, nmd, seed, dt=DT, temp=T,
-                       delta=DELTA, dyn=None):
-    """Antithetic CRN ensemble with the PERIODIC-ATTRACTOR warm start
-    (harmonic only; md.periodic_fixed_point).
-
-    The cold-start estimator carries a DeltaT-odd initial-condition
-    transient measured at +7.9% (nmd=2^13) that falls only like
-    1/T_run (exp_xcheck_{dt,dw,steady}.py). Here each trajectory runs
-    one noise period from zero init, the exact periodic point
-    x* = (I - A^P)^{-1} x(P) of its own noise realisation is solved on
-    host (A is temperature-independent: ONE Jacobian + one binary
-    power for both directions), and the measured period starts AT x* —
-    zero transient, any-window unbiased, so the full period is
-    averaged with no equilibration discard."""
+def flagship_builder(axyz, part, nmd, seed, dt=DT, temp=T, dyn=None):
+    """build(Ta, Tb) callback for parallel.ensemble.antithetic_run on
+    the flagship structure.data junction (reusable by bench.py)."""
     import tempfile
 
-    import jax
     import jax.numpy as jnp
 
     from sclmd_tpu import baths as B
-    from sclmd_tpu.md import (md as MDRunner, _cur_reduce,
-                              gle_step_jacobian, period_power,
-                              periodic_fixed_point, state_ravel,
-                              state_unravel)
-    from sclmd_tpu.parallel.ensemble import (ensemble_noise,
-                                             ensemble_run,
-                                             ensemble_states)
+    from sclmd_tpu.md import md as MDRunner
 
     if dyn is None:
         dyn = np.load(NEGF_CACHE)["dyn_ev2"]
-    TL, TR = temp * (1 + delta / 2), temp * (1 - delta / 2)
 
-    def build(Ta, Tb, tag):
+    def build(Ta, Tb):
         runner = MDRunner(dt, nmd, temp, axyz=axyz, dyn=dyn,
                           dtype=jnp.float32, seed=seed,
-                          outdir=tempfile.mkdtemp(prefix=f"xw_{tag}_"))
+                          outdir=tempfile.mkdtemp(prefix="xw_"))
         for cats, tt in ((part["ecatsl"], Ta), (part["ecatsr"], Tb)):
             eta = (1.0 / DAMP_NAT) * np.identity(len(cats))
             runner.AddBath(B.ebath(cats, tt, runner.dt, runner.nmd,
@@ -213,34 +194,21 @@ def md_antithetic_warm(axyz, part, ntraj, nmd, seed, dt=DT, temp=T,
         runner.AddConstr([part["fixdofs"]])
         return runner
 
-    t0 = time.time()
-    A = gle_step_jacobian(build(TL, TR, "jac")._build_system())
-    AP = period_power(A, nmd)
-    print(f"  [warm] one-step Jacobian ({A.shape[0]} dof) + A^{nmd}: "
-          f"{time.time() - t0:.0f} s", flush=True)
+    return build
 
-    def run_dir(Ta, Tb, tag):
-        runner = build(Ta, Tb, tag)
-        system = runner._build_system()
-        sys_f = system.replace(baths=tuple(
-            b if b.nstd is not None else b.prepare_noise()
-            for b in runner.baths))
-        key = jax.random.fold_in(jax.random.PRNGKey(seed), 99)
-        bsys = ensemble_noise(sys_f, key, ntraj)
-        st0 = ensemble_states(bsys, ntraj)          # zeros init
-        fin1, _ = ensemble_run(bsys, st0, nmd, t0=0)
-        x0 = periodic_fixed_point(A, state_ravel(fin1), nmd, power=AP)
-        stw = state_unravel(x0, system, dtype=jnp.float32)
-        fin2, ys = ensemble_run(bsys, stw, nmd, t0=0)
-        sums, ok = _cur_reduce(ys["cur"], 0)
-        if not bool(np.asarray(ok)):
-            raise FloatingPointError(f"non-finite currents [{tag}]")
-        means = np.asarray(sums) / nmd
-        return (means[:, 0] - means[:, 1]) / 2
 
-    jf = run_dir(TL, TR, "fwd")
-    jr = run_dir(TR, TL, "rev")
-    return (jf - jr) / 2
+def md_antithetic_warm(axyz, part, ntraj, nmd, seed, dt=DT, temp=T,
+                       delta=DELTA, dyn=None):
+    """Antithetic CRN ensemble with the PERIODIC-ATTRACTOR warm start —
+    now a thin wrapper over the packaged estimator
+    (sclmd_tpu.parallel.ensemble.antithetic_run; VERDICT r3 item 3)."""
+    from sclmd_tpu.parallel.ensemble import antithetic_run
+
+    TL, TR = temp * (1 + delta / 2), temp * (1 - delta / 2)
+    build = flagship_builder(axyz, part, nmd, seed, dt=dt, temp=temp,
+                             dyn=dyn)
+    return antithetic_run(build, TL, TR, ntraj, nsteps=nmd, seed=seed,
+                          warm_start=True)
 
 
 def phase_md(ntraj=64, nmd=2 ** 14, seed=11, harmonic=False,

@@ -162,6 +162,91 @@ class TestExpectedCurrents:
         fast = attractor_expected_currents(system, method="schur")
         np.testing.assert_allclose(fast, dense, rtol=1e-7)
 
+class TestAntitheticRunAPI:
+    """The packaged warm-start antithetic estimator
+    (parallel.ensemble.antithetic_run — the composition behind the
+    flagship crosscheck headline, promoted from scripts/ in round 4)
+    must land on the exact attractor value within tight statistics."""
+
+    @staticmethod
+    def _build(nmd, seed=7, dt=0.25 / 0.658, nph=8,
+               eta=1.0 / (50 / 0.658)):
+        from sclmd_tpu.md import md as MDRunner
+
+        dyn = np.asarray(chain_dynmat(nph, 0.04))
+
+        def build(Ta, Tb):
+            import tempfile
+            runner = MDRunner(dt, nmd, (Ta + Tb) / 2, dyn=dyn,
+                              dtype=jnp.float64, seed=seed,
+                              outdir=tempfile.mkdtemp(prefix="anti_"))
+            runner.AddBath(B.ebath([0], Ta, dt, nmd, wmax=1.0,
+                                   efric=np.eye(1) * eta,
+                                   dtype=jnp.float64))
+            runner.AddBath(B.ebath([nph - 1], Tb, dt, nmd, wmax=1.0,
+                                   efric=np.eye(1) * eta,
+                                   dtype=jnp.float64))
+            return runner
+
+        return build
+
+    def test_warm_estimator_hits_exact_value(self):
+        from sclmd_tpu.parallel.ensemble import (_noisy_system,
+                                                 antithetic_run)
+
+        nmd = 2 ** 12
+        T, delta = 300.0, 0.5
+        TL, TR = T * (1 + delta / 2), T * (1 - delta / 2)
+        build = self._build(nmd)
+
+        # exact expectation of BOTH directions (the chain is mirror-
+        # symmetric but the theory is cheap — no symmetry assumption)
+        th_f = attractor_expected_currents(_noisy_system(build(TL, TR)))
+        th_r = attractor_expected_currents(_noisy_system(build(TR, TL)))
+        j_exact = ((th_f[0] - th_f[1]) / 2 - (th_r[0] - th_r[1]) / 2) / 2
+
+        ntraj = 16
+        j = antithetic_run(build, TL, TR, ntraj, warm_start=True,
+                           seed=7)
+        assert j.shape == (ntraj,)
+        sem = j.std() / np.sqrt(ntraj)
+        assert abs(j.mean() - j_exact) < 4 * max(sem, 1e-12), (
+            j.mean(), j_exact, sem)
+        # the composition must also be usably TIGHT. Relative SEM
+        # shrinks with system size and run length: this quantum
+        # 8-DOF/2^12 tier measures ~14% (the zero-point noise scale
+        # dwarfs the DeltaT signal on a tiny chain); the production
+        # tightness — 1.6% at 32 pairs x 2^14 on the 2412-DOF
+        # flagship — is measured by bench.crosscheck
+        assert sem < 0.25 * abs(j_exact), (sem, j_exact)
+
+    def test_chunked_equals_unchunked_bitwise(self):
+        from sclmd_tpu.parallel.ensemble import antithetic_run
+
+        nmd = 2 ** 9
+        TL, TR = 330.0, 270.0
+        build = self._build(nmd, seed=3)
+        j_full = antithetic_run(build, TL, TR, 6, warm_start=True,
+                                seed=3)
+        j_chunk = antithetic_run(build, TL, TR, 6, warm_start=True,
+                                 seed=3, chunk=2)
+        # the noise draws are bitwise identical across chunkings; the
+        # periodic-point SVD lstsq solves a different RHS block width,
+        # so equality holds to solver roundoff, not bitwise
+        np.testing.assert_allclose(j_full, j_chunk, rtol=1e-9,
+                                   atol=1e-18)
+
+    def test_cold_path_runs(self, tmp_path):
+        from sclmd_tpu.parallel.ensemble import antithetic_run
+
+        nmd = 2 ** 9
+        build = self._build(nmd, seed=5)
+        j = antithetic_run(build, 330.0, 270.0, 4, warm_start=False)
+        assert j.shape == (4,)
+        assert np.isfinite(j).all()
+
+
+class TestExpectedCurrentsSlow:
     @pytest.mark.slow
     def test_matches_landauer_at_fine_grid(self):
         """At a fine noise grid the exact discrete expectation lands on
