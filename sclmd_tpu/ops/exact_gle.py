@@ -202,8 +202,68 @@ def current_rank1_forms(system):
     return Es, Gs
 
 
+def prepare_attractor(system):
+    """One-time temperature-INDEPENDENT preparation for the Schur-path
+    attractor expectation: the affine step operators, the factored
+    current forms, and the complex Schur factorisation.
+
+    The linear map and the current forms depend only on the system
+    structure (dynamical matrix, friction kernels, dt) — never on the
+    bath temperatures, whose only effect is the noise PSD factors. A
+    conductance estimate therefore shares ONE prep across the forward
+    and reversed (TL,TR)/(TR,TL) directions, and across classical vs
+    quantum statistics of the same junction."""
+    from scipy.linalg import schur
+
+    A, B0, B1 = linearize_step(system)
+    Es, Gs = current_rank1_forms(system)
+    n = A.shape[0]
+    m = sum(b.nc for b in system.baths)
+    T, Q = schur(A.astype(np.complex128), output="complex")
+    Qh = Q.conj().T
+    return {
+        "A": A, "B0": B0, "B1": B1, "Es": Es, "Gs": Gs,
+        "T": T, "Q": Q,
+        "K0": Qh @ B0, "K1": Qh @ B1,
+        "EQ": [E[:, :n] @ Q for E in Es],
+        "GQ": [G[:, :n] @ Q for G in Gs],
+        "E0": [E[:, n:n + m] for E in Es],
+        "E1": [E[:, n + m:] for E in Es],
+    }
+
+
+def _solve_shifted_triangular_batch(T, zs, Cs, block=64):
+    """Solve (z I - T) Y = C for a BATCH of shifts z (T upper
+    triangular, shared). ``Cs``: (nz, n, m). Blocked backward
+    substitution: the diagonal blocks run a short scalar recurrence,
+    everything above them updates through one tensordot (BLAS GEMM) per
+    block — the z axis rides along, so the per-line O(n^2) matrix
+    construction of a naive loop never happens."""
+    n = T.shape[0]
+    Y = np.empty_like(Cs)
+    W = Cs.copy()
+    i1 = n
+    zcol = zs[:, None]
+    while i1 > 0:
+        i0 = max(0, i1 - block)
+        for i in range(i1 - 1, i0 - 1, -1):
+            if i + 1 < i1:
+                acc = np.einsum("j,zjm->zm", T[i, i + 1:i1],
+                                Y[:, i + 1:i1, :])
+                Y[:, i, :] = (W[:, i, :] + acc) / (zcol - T[i, i])
+            else:
+                Y[:, i, :] = W[:, i, :] / (zcol - T[i, i])
+        if i0 > 0:
+            upd = np.tensordot(T[:i0, i0:i1], Y[:, i0:i1, :],
+                               axes=([1], [1]))          # (i0, nz, m)
+            W[:, :i0, :] += upd.transpose(1, 0, 2)
+        i1 = i0
+    return Y
+
+
 def attractor_expected_currents(system, progress=False,
-                                method="dense"):
+                                method="dense", prep=None,
+                                line_chunk=256):
     """(nbaths,) exact expected full-period-average bath currents of
     the periodic attractor (see module docstring).
 
@@ -212,12 +272,16 @@ def attractor_expected_currents(system, progress=False,
 
     ``method``: "dense" — full (Nv, Nv) quadratic forms + one LU per
     line (small systems); "schur" — complex Schur factorisation of A
-    once + per-line triangular solves with the rank-nc factored
-    current forms: O(h n^2 m) total, which makes the 2412-dof flagship
-    tractable (~1-2 h on one CPU core vs days dense).
+    once + z-batched blocked triangular solves with the rank-nc
+    factored current forms: O(h n^2 m) total in GEMM-shaped batches,
+    which makes the 2412-dof flagship tractable (minutes, vs days
+    dense). ``prep``: optional ``prepare_attractor(system)`` output —
+    temperature-independent, so one prep serves both directions of a
+    conductance estimate.
     """
     if method == "schur":
-        return _attractor_expected_schur(system, progress)
+        return _attractor_expected_schur(system, progress, prep=prep,
+                                         line_chunk=line_chunk)
     baths = system.baths
     if any(getattr(b, "nstd", None) is None for b in baths):
         raise ValueError("baths must carry PSD factors: call "
@@ -260,57 +324,65 @@ def attractor_expected_currents(system, progress=False,
     return out
 
 
-def _attractor_expected_schur(system, progress=False):
+def _attractor_expected_schur(system, progress=False, prep=None,
+                              line_chunk=256):
     """Schur + rank-factored-form evaluation of the same sum (see
-    attractor_expected_currents). Per line: one triangular solve of
-    the complex-Schur system plus O(nc n m) products."""
-    from scipy.linalg import schur, solve_triangular
-
+    attractor_expected_currents), z-BATCHED: comb lines are processed
+    in chunks of ``line_chunk`` through one blocked triangular solve
+    and GEMM-shaped contractions (the naive per-line loop spent its
+    time materialising z*I - T per line)."""
     baths = system.baths
     if any(getattr(b, "nstd", None) is None for b in baths):
         raise ValueError("baths must carry PSD factors: call "
                          "bath.prepare_noise() before building the "
                          "system")
-    A, B0, B1 = linearize_step(system)
-    Es, Gs = current_rank1_forms(system)
-    n = A.shape[0]
+    if prep is None:
+        prep = prepare_attractor(system)
+    T = prep["T"]
+    K0, K1 = prep["K0"], prep["K1"]
+    EQ, GQ, E0, E1 = prep["EQ"], prep["GQ"], prep["E0"], prep["E1"]
+    n = T.shape[0]
     ncs = [b.nc for b in baths]
     m = sum(ncs)
     nb = len(baths)
     nmd, dt = system.nmd, system.dt
     h = nmd // 2
 
-    T, Q = schur(A.astype(np.complex128), output="complex")
-    Qh = Q.conj().T
-    K0, K1 = Qh @ B0, Qh @ B1               # (n, m)
-    EQ = [Es[b][:, :n] @ Q for b in range(nb)]
-    GQ = [Gs[b][:, :n] @ Q for b in range(nb)]
-    E0 = [Es[b][:, n:n + m] for b in range(nb)]
-    E1 = [Es[b][:, n + m:] for b in range(nb)]
-    # G selects pre-step lead velocities from x: no noise dependence
-
     U = [np.asarray(b.nevecs, np.complex128) for b in baths]
     S = [np.asarray(b.nstd, np.float64) for b in baths]
     offs = np.concatenate([[0], np.cumsum(ncs)]).astype(int)
     out = np.zeros(nb)
-    eyed = np.eye(n, dtype=np.complex128)
-    for k in range(h + 1):
-        th = 2.0 * np.pi * k / nmd
-        z = np.exp(-1j * th)
-        Pn = np.zeros((m, m), np.complex128)
+    for k0 in range(0, h + 1, line_chunk):
+        ks = np.arange(k0, min(k0 + line_chunk, h + 1))
+        nz = len(ks)
+        zs = np.exp(-2j * np.pi * ks / nmd)
+        # per-line block-diagonal noise factor P_k (nz, m, m)
+        Pn = np.zeros((nz, m, m), np.complex128)
         for i in range(nb):
-            Pn[offs[i]:offs[i + 1], offs[i]:offs[i + 1]] = \
-                U[i][k] * S[i][k]
-        C = (K0 + z * K1) @ Pn
-        Y = solve_triangular(z * eyed - T, C, lower=False)
-        a = (1.0 if k in (0, h) else 2.0) / (nmd * dt)
+            sl = slice(offs[i], offs[i + 1])
+            # U may be a zero-stride broadcast view (proportional
+            # spectra) — fancy-indexing materialises only the chunk
+            Pn[:, sl, sl] = U[i][ks] * S[i][ks][:, None, :]
+        # C_k = (K0 + z_k K1) @ P_k
+        KP0 = np.tensordot(K0, Pn, axes=([1], [1]))      # (n, nz, m)
+        KP1 = np.tensordot(K1, Pn, axes=([1], [1]))
+        Cs = (KP0 + zs[None, :, None] * KP1).transpose(1, 0, 2)
+        Y = _solve_shifted_triangular_batch(T, zs, Cs)   # (nz, n, m)
+        a = np.where((ks == 0) | (ks == h), 1.0, 2.0) / (nmd * dt)
+        pseudo = (ks == 0) | (ks == h)
+        w = a * a / 2.0
         for b in range(nb):
-            EP = EQ[b] @ Y + (E0[b] + z * E1[b]) @ Pn
-            GP = GQ[b] @ Y
-            c = float(np.real(np.sum(EP * np.conj(GP))))
-            if k in (0, h):
-                c += float(np.real(np.sum(EP * GP)))
-            out[b] += (a * a / 2.0) * c
-        if progress and k % 256 == 0:
-            print(f"  exact_gle(schur) line {k}/{h}", flush=True)
+            EP = np.tensordot(EQ[b], Y, axes=([1], [1]))  # (nc, nz, m)
+            EP = EP.transpose(1, 0, 2)
+            EP += np.tensordot(E0[b], Pn, axes=([1], [1])).transpose(
+                1, 0, 2)
+            EP += zs[:, None, None] * np.tensordot(
+                E1[b], Pn, axes=([1], [1])).transpose(1, 0, 2)
+            GP = np.tensordot(GQ[b], Y, axes=([1], [1])).transpose(
+                1, 0, 2)
+            c = np.real(np.sum(EP * np.conj(GP), axis=(1, 2)))
+            c = c + pseudo * np.real(np.sum(EP * GP, axis=(1, 2)))
+            out[b] += float(np.sum(w * c))
+        if progress:
+            print(f"  exact_gle(schur) line {ks[-1]}/{h}", flush=True)
     return out

@@ -331,45 +331,33 @@ def test_phonon_bath_conductance_matches_negf(key):
         j_md, j_err, j_negf)
 
 
-@pytest.mark.statistical
-def test_usek_lead_blocks_conductance_matches_negf(key):
-    """End-to-end validation of the K00/K01/V01 bath mode (the mode the
-    reference declares but aborts on, baths.py:316-320): MD with
-    memory-kernel baths built from semi-infinite-chain lead blocks must
-    reproduce the NEGF current computed from the SAME decimated
-    self-energy, to within 3% (VERDICT r2 item 5; was 15%).
+def _usek_chain_setup():
+    """Shared UseK tier: 8-atom chain, semi-infinite-chain lead blocks.
 
-    Bookkeeping pinned by this test: the GLE kernel reproduces
+    Bookkeeping pinned here: the GLE kernel reproduces
     Sigma(w) - Sigma(0), so the MD dynamical matrix is the BARE device
     (end onsite k); the NEGF side uses the bulk-onsite device block
-    (2k at the ends) with the full Sigma(w).
-
-    Estimator (scripts/exp_usek_richardson.py measurements, 2026-08):
-    with the antithetic common-random-numbers pairing the old "-10%
-    noise-grid" deviation does not reproduce — the residual systematic
-    is -2.8% at dt=0.38 and is dt-FIRST-ORDER (the trapezoidal GLE
-    convolution taps), not dw-dependent (dw tiers 2^12..2^15 all sit at
-    -2.4..-3.7%). Two dt tiers + Richardson in dt cancel it:
-    measured tier devs -2.76%/-1.30% (SEM ~1%), extrapolated +0.16%.
-    """
-    from sclmd_tpu.selfenergy import lead_selfenergy_from_blocks_np
-    from sclmd_tpu.md import run_segment_blocked
-
+    (2k at the ends) with the full Sigma(w)."""
     k = 0.04
     nph = 8
-    base_dt = 0.25 / 0.658
+    dt = 0.25 / 0.658
     T, delta = 300.0, 0.5
-    TL, TR = T * (1 + delta / 2), T * (1 - delta / 2)
-
+    nmd, ml = 2 ** 11, 128
     D = np.array(chain_dynmat(nph, k))
-    D_negf = D.copy()
-    D_negf[0, 0] += k
-    D_negf[-1, -1] += k
     K00 = np.array([[2 * k]])
     K01 = np.array([[-k]])
     V01 = np.array([[-k]])
+    return k, nph, dt, T, delta, nmd, ml, D, K00, K01, V01
 
-    # NEGF: dense Caroli with the decimated Sigma on both ends
+
+def _usek_landauer(k, nph, D, K00, K01, V01, TL, TR, classical):
+    """Continuum NEGF reference: dense Caroli with the decimated
+    Sigma on both ends (the deterministic side of the crosscheck)."""
+    from sclmd_tpu.selfenergy import lead_selfenergy_from_blocks_np
+
+    D_negf = D.copy()
+    D_negf[0, 0] += k
+    D_negf[-1, -1] += k
     ws = np.linspace(1e-4, 2.2 * np.sqrt(k), 2000)
     sig_w = lead_selfenergy_from_blocks_np(K00, K01, V01, ws, eta=1e-6)
     tm = []
@@ -382,50 +370,81 @@ def test_usek_lead_blocks_conductance_matches_negf(key):
         gl = np.zeros((nph, nph)); gl[0, 0] = gam
         gr = np.zeros((nph, nph)); gr[-1, -1] = gam
         tm.append(np.real(np.trace(g @ gl @ g.conj().T @ gr)))
-    j_negf = np.trapezoid(np.array(tm), ws) * U.KB * (TL - TR) \
-        / (2 * np.pi)
-    assert j_negf > 0
+    tm = np.array(tm)
     assert max(tm) > 0.99          # perfect chain: ballistic in band
+    if classical:
+        return float(np.trapezoid(tm, ws) * U.KB * (TL - TR)
+                     / (2 * np.pi))
+    return float(landauer_current_natural(ws, tm, TL, TR))
 
-    def measure(dt, nmd, ml, nens, sub):
-        """Antithetic CRN tier: same keys at swapped (TL,TR) orderings
-        so zero-point-scale fluctuations cancel in the difference."""
-        def mk(Tb, cid):
-            return B.phbath(Tb, [cid], np.sqrt(k), 400, dt, nmd, ml=ml,
-                            K00=K00, K01=K01, V01=V01, mcof=2.2,
-                            classical=True, dtype=jnp.float64)
 
-        fwd = (mk(TL, 0), mk(TR, nph - 1))
-        rev = (mk(TR, 0), mk(TL, nph - 1))
-        keys = jax.random.split(jax.random.fold_in(key, sub), (nens, 2))
+def _usek_rebased(classical, seed, nens=4096):
+    """Re-based UseK crosscheck (VERDICT r3 item 2): MD is compared to
+    the EXACT discrete attractor expectation
+    (ops.exact_gle.attractor_expected_currents) — same comb grid, same
+    trapezoidal convolution taps, same kernel truncation, so the
+    comparison carries ZERO grid/dt bias and the 2% bar holds without
+    Richardson tiers or statistical luck (measured: -1.0%/+0.7% across
+    seeds at SEM 0.56%). Theory-vs-continuum-Landauer is kept as the
+    separate, deterministic discretization statement.
 
-        def one(ks):
-            def run(bl, br):
-                bl = bl.gnoi(ks[0]).replace(nevecs=None, nstd=None)
-                br = br.gnoi(ks[1]).replace(nevecs=None, nstd=None)
-                sysb = make_system(jnp.asarray(D), [bl, br], dt, nmd)
-                _, ys = run_segment_blocked(
-                    sysb, initial_state(sysb, dtype=jnp.float64), nmd,
-                    block=64)
-                cur = ys["cur"][nmd // 4:]
-                return (jnp.mean(cur[:, 0]) - jnp.mean(cur[:, 1])) / 2
+    Estimator: the packaged warm-start antithetic composition
+    (parallel.ensemble.antithetic_run) — the periodic-attractor start
+    is exactly what the theory computes the expectation OF, so
+    MD-vs-theory is pure statistics at ANY tier.
+    """
+    import tempfile
 
-            return (run(*fwd) - run(*rev)) / 2
+    from sclmd_tpu.md import md as MDRunner
+    from sclmd_tpu.ops.exact_gle import (attractor_expected_currents,
+                                         prepare_attractor)
+    from sclmd_tpu.parallel.ensemble import _noisy_system, antithetic_run
 
-        j = np.asarray(jax.vmap(one)(keys))
-        return float(j.mean()), float(j.std() / np.sqrt(nens))
+    k, nph, dt, T, delta, nmd, ml, D, K00, K01, V01 = _usek_chain_setup()
+    TL, TR = T * (1 + delta / 2), T * (1 - delta / 2)
 
-    # two dt tiers at the same physical window (nmd*dt) and kernel
-    # length (ml*dt); Richardson in dt cancels the O(dt) convolution
-    # bias (measured: -2.76% and -1.30% raw, +0.16% extrapolated)
-    j1, s1 = measure(base_dt, 2 ** 14, 256, 256, sub=1)
-    j2, s2 = measure(base_dt / 2, 2 ** 15, 512, 256, sub=2)
-    assert abs(j1 - j_negf) < max(3 * s1, 0.06 * j_negf), (j1, s1, j_negf)
-    assert abs(j2 - j_negf) < max(3 * s2, 0.04 * j_negf), (j2, s2, j_negf)
-    j_star = 2 * j2 - j1
-    s_star = float(np.hypot(2 * s2, s1))
-    assert abs(j_star - j_negf) < max(3 * s_star, 0.03 * j_negf), (
-        j_star, s_star, j_negf)
+    def build(Ta, Tb):
+        r = MDRunner(dt, nmd, T, dyn=D, dtype=jnp.float64, seed=seed,
+                     outdir=tempfile.mkdtemp(prefix="usek_"))
+        for cid, tt in (([0], Ta), ([nph - 1], Tb)):
+            r.AddBath(B.phbath(tt, cid, np.sqrt(k), 400, dt, nmd, ml=ml,
+                               K00=K00, K01=K01, V01=V01, mcof=2.2,
+                               classical=classical, dtype=jnp.float64))
+        return r
+
+    # exact theory, both directions, ONE temperature-independent prep
+    sys_f = _noisy_system(build(TL, TR))
+    prep = prepare_attractor(sys_f)
+    th_f = attractor_expected_currents(sys_f, method="schur", prep=prep)
+    th_r = attractor_expected_currents(_noisy_system(build(TR, TL)),
+                                       method="schur", prep=prep)
+    j_th = ((th_f[0] - th_f[1]) / 2 - (th_r[0] - th_r[1]) / 2) / 2
+
+    j = antithetic_run(build, TL, TR, nens, warm_start=True, seed=seed,
+                       block=64)
+    j_md = float(j.mean())
+    sem = float(j.std() / np.sqrt(nens))
+    assert j_th > 0
+    # statistics must leave margin under the bar (2% at 3.5 sigma)
+    assert sem < 0.007 * j_th, (sem, j_th)
+    assert abs(j_md - j_th) < 0.02 * j_th, (
+        j_md, j_th, (j_md - j_th) / j_th, sem)
+
+    # deterministic leg: exact-discrete theory vs continuum Landauer —
+    # the comb/dt discretization bias at this tier, isolated from any
+    # statistics (measured ~-1.6% quantum / ~-2.5% classical)
+    j_negf = _usek_landauer(k, nph, D, K00, K01, V01, TL, TR, classical)
+    assert abs(j_th - j_negf) < 0.04 * j_negf, (j_th, j_negf)
+
+
+@pytest.mark.statistical
+def test_usek_lead_blocks_conductance_matches_negf():
+    """End-to-end validation of the K00/K01/V01 bath mode (the mode the
+    reference declares but aborts on, baths.py:316-320), classical
+    statistics — re-based on the exact discrete attractor theory and
+    held to 2% (VERDICT r3 item 2; r2 held 3% vs continuum Landauer
+    only via Richardson-in-dt tiers, r1 15%)."""
+    _usek_rebased(classical=True, seed=5)
 
 
 @pytest.mark.slow
@@ -480,76 +499,11 @@ def test_equilibrium_power_spectrum_matches_negf(key):
 
 
 @pytest.mark.statistical
-def test_usek_quantum_conductance_antithetic(key):
-    """Quantum-statistics version of the UseK crosscheck, with the
-    antithetic CRN estimator (see test_conductance_within_2pct_of_negf),
-    held to 4% (VERDICT r2 item 5; was 8%).
-
-    Measured (2026-08, nens=96): dev -2.12% +-1.26% at dt=0.38,
-    -1.43% +-1.27% at dt/2, Richardson-in-dt -0.74% +-2.84% — the same
-    O(dt) convolution bias as the classical test at roughly half the
-    slope (quantum occupation suppresses the low-frequency part where
-    the discretisation error concentrates). This test runs the dt/2
-    tier, where the measured deviation leaves a 2-sigma margin under
-    the 4% bound; the classical twin pins the Richardson limit at 3%.
-    """
-    from sclmd_tpu.selfenergy import lead_selfenergy_from_blocks_np
-    from sclmd_tpu.md import run_segment_blocked
-
-    k = 0.04
-    nph = 8
-    dt, nmd, ml = 0.25 / 0.658 / 2, 2 ** 15, 512
-    T, delta = 300.0, 0.5
-    TL, TR = T * (1 + delta / 2), T * (1 - delta / 2)
-    D = np.array(chain_dynmat(nph, k))
-    D_negf = D.copy()
-    D_negf[0, 0] += k
-    D_negf[-1, -1] += k
-    K00 = np.array([[2 * k]])
-    K01 = np.array([[-k]])
-    V01 = np.array([[-k]])
-
-    ws = np.linspace(1e-4, 2.2 * np.sqrt(k), 2000)
-    sig_w = lead_selfenergy_from_blocks_np(K00, K01, V01, ws, eta=1e-6)
-    tm = []
-    for i, w in enumerate(ws):
-        se = np.zeros((nph, nph), complex)
-        se[0, 0] = sig_w[i, 0, 0]
-        se[-1, -1] = sig_w[i, 0, 0]
-        g = np.linalg.inv((w + 1e-9j) ** 2 * np.eye(nph) - D_negf - se)
-        gam = -2 * np.imag(sig_w[i, 0, 0])
-        gl = np.zeros((nph, nph)); gl[0, 0] = gam
-        gr = np.zeros((nph, nph)); gr[-1, -1] = gam
-        tm.append(np.real(np.trace(g @ gl @ g.conj().T @ gr)))
-    j_negf = float(landauer_current_natural(ws, np.array(tm), TL, TR))
-
-    def mk(Tb, cid):
-        return B.phbath(Tb, [cid], np.sqrt(k), 400, dt, nmd, ml=ml,
-                        K00=K00, K01=K01, V01=V01, mcof=2.2,
-                        dtype=jnp.float64)
-
-    fwd = (mk(TL, 0), mk(TR, nph - 1))
-    rev = (mk(TR, 0), mk(TL, nph - 1))
-    nens = 64
-    keys = jax.random.split(key, (nens, 2))
-    mask = jnp.ones(nph)
-
-    def one(ks):
-        def run(bl, br):
-            bl = bl.gnoi(ks[0]).replace(nevecs=None, nstd=None)
-            br = br.gnoi(ks[1]).replace(nevecs=None, nstd=None)
-            sysb = make_system(jnp.asarray(D), [bl, br], dt, nmd)
-            _, ys = run_segment_blocked(
-                sysb, initial_state(sysb, dtype=jnp.float64), nmd,
-                block=64)
-            cur = ys["cur"][nmd // 4:]
-            return (jnp.mean(cur[:, 0]) - jnp.mean(cur[:, 1])) / 2
-
-        return (run(*fwd) - run(*rev)) / 2
-
-    j = np.asarray(jax.vmap(one)(keys))
-    j_md = float(j.mean())
-    j_err = float(j.std() / np.sqrt(nens))
-    assert j_negf > 0
-    assert abs(j_md - j_negf) < max(3 * j_err, 0.04 * j_negf), (
-        j_md, j_err, j_negf)
+def test_usek_quantum_conductance_antithetic():
+    """Quantum-statistics version of the UseK crosscheck — re-based on
+    the exact discrete attractor theory and held to 2% (VERDICT r3
+    item 2; r2 held 4% vs continuum Landauer at a dt/2 tier). The
+    quantum PSD (zero-point + Bose occupation) feeds both the MD noise
+    synthesis and the theory's per-line covariance, so the comparison
+    pins the quantum noise conventions end-to-end."""
+    _usek_rebased(classical=False, seed=5)
