@@ -263,7 +263,7 @@ def _solve_shifted_triangular_batch(T, zs, Cs, block=64):
 
 def attractor_expected_currents(system, progress=False,
                                 method="dense", prep=None,
-                                line_chunk=256):
+                                line_chunk=None):
     """(nbaths,) exact expected full-period-average bath currents of
     the periodic attractor (see module docstring).
 
@@ -325,7 +325,7 @@ def attractor_expected_currents(system, progress=False,
 
 
 def _attractor_expected_schur(system, progress=False, prep=None,
-                              line_chunk=256):
+                              line_chunk=None):
     """Schur + rank-factored-form evaluation of the same sum (see
     attractor_expected_currents), z-BATCHED: comb lines are processed
     in chunks of ``line_chunk`` through one blocked triangular solve
@@ -344,6 +344,10 @@ def _attractor_expected_schur(system, progress=False, prep=None,
     n = T.shape[0]
     ncs = [b.nc for b in baths]
     m = sum(ncs)
+    if line_chunk is None:
+        # bound the (nz, n, m) complex transients (~4 live copies) to
+        # ~1.5 GB — the flagship (n=2412, m=300) then batches 32 lines
+        line_chunk = int(max(8, min(256, 1.5e9 / (n * m * 16 * 4))))
     nb = len(baths)
     nmd, dt = system.nmd, system.dt
     h = nmd // 2
