@@ -162,6 +162,26 @@ class TestExpectedCurrents:
         fast = attractor_expected_currents(system, method="schur")
         np.testing.assert_allclose(fast, dense, rtol=1e-7)
 
+class TestShiftedTriangularSolve:
+    @pytest.mark.parametrize("m", [2, 40])   # substitution / LAPACK
+    def test_matches_direct_solve(self, m):
+        from sclmd_tpu.ops.exact_gle import \
+            _solve_shifted_triangular_batch
+
+        rng = np.random.default_rng(3)
+        n, nz = 37, 5
+        T = np.triu(rng.normal(size=(n, n))
+                    + 1j * rng.normal(size=(n, n)))
+        zs = np.exp(1j * rng.uniform(0, 2 * np.pi, nz)) * 2.0
+        Cs = rng.normal(size=(nz, n, m)) + 1j * rng.normal(
+            size=(nz, n, m))
+        Y = _solve_shifted_triangular_batch(T, zs, Cs, block=8)
+        for i, z in enumerate(zs):
+            want = np.linalg.solve(z * np.eye(n) - T, Cs[i])
+            np.testing.assert_allclose(Y[i], want, rtol=1e-9,
+                                       atol=1e-9)
+
+
 class TestAntitheticRunAPI:
     """The packaged warm-start antithetic estimator
     (parallel.ensemble.antithetic_run — the composition behind the
