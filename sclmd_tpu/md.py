@@ -1099,7 +1099,10 @@ class md:
         in chunks"). Default: auto-sized from a per-trajectory HBM
         estimate (parallel.ensemble.auto_chunk, SCLMD_HBM_BUDGET_GB).
         The per-trajectory key schedule depends only on the trajectory
-        index, so results are BITWISE independent of the chunking.
+        index, so the noise/init draws are BITWISE independent of the
+        chunking; results agree to float roundoff (the fused
+        single-dispatch program's XLA fusion pattern varies with the
+        chunk shape, reassociating summations at ~1e-15 relative).
 
         ``npie`` splits each chunk's run into segments (like Run's
         npie); ``checkpoint=True`` dumps an MDE.npz bundle (current
@@ -1210,6 +1213,67 @@ class md:
         first_final = None
         nchunks = -(-ntraj // chunk)
         pending = []
+
+        # FUSED single-dispatch path (the default production shape):
+        # noise synthesis + init + run + reduction compile into ONE
+        # program per chunk, eliminating the ~8-10 per-chunk dispatch
+        # round-trips (at ~35 ms tunnel RTT they were the entire
+        # raw-vs-e2e gap at single-chunk ensemble sizes). Key schedules
+        # are bitwise ensemble_noise/ensemble_states', so results match
+        # the segmented/checkpoint path exactly.
+        if not checkpoint and npie == 1:
+            from sclmd_tpu.parallel.ensemble import (
+                _fused_chunk, _init_key_schedule, _key_schedule,
+                bath_factor_triples)
+            facs = jax.device_put(bath_factor_triples(sys_f.baths))
+            nkeys_all = [np.asarray(_key_schedule(noise_key, i, ntraj))
+                         for i in range(nb)]
+            if thermal:
+                ikeys_all = np.asarray(_init_key_schedule(init_key,
+                                                          ntraj))
+                hw_d = jnp.asarray(self.hw, self.dtype)
+                ev_d = jnp.asarray(self.U, self.dtype)
+            else:
+                ikeys_all, hw_d, ev_d = None, None, None
+
+            def _drain_f(item):
+                d0, d1, dic, dsum, dok = item
+                if not bool(np.asarray(dok)):
+                    raise FloatingPointError(
+                        "RunEnsemble: non-finite heat currents in "
+                        f"chunk {dic} (pipelined path: detection is "
+                        "deferred by one chunk) — reduce dt or check "
+                        "the force driver")
+                cur_sum[d0:d1] += np.asarray(dsum)
+
+            for ic in range(nchunks):
+                c0, c1 = ic * chunk, min((ic + 1) * chunk, ntraj)
+                nkeys = tuple(nkeys_all[i][c0:c1] for i in range(nb))
+                ikeys = ikeys_all[c0:c1] if thermal else None
+                finals, seg_sum, ok = _fused_chunk(
+                    system, facs, nkeys, ikeys, hw_d, ev_d,
+                    T_init if thermal else None,
+                    nsteps, 0, block, min(skip, nsteps))
+                pending.append((c0, c1, ic, seg_sum, ok))
+                while len(pending) > 1:
+                    _drain_f(pending.pop(0))
+                if first_final is None:
+                    first_final = finals
+            for item in pending:
+                _drain_f(item)
+            means = cur_sum / max(cur_cnt, 1)
+            for jtraj in range(ntraj):
+                for ii in range(nb):
+                    with open(os.path.join(
+                            self.outdir,
+                            f"kappa.{self.T:g}.bath{ii}.run{jtraj}.dat"),
+                            "w") as fk:
+                        fk.write("%i %f    %f \n" % (
+                            jtraj, self.T, means[jtraj, ii] * U.CURCOF))
+            if first_final is not None:
+                self.state = jax.tree_util.tree_map(
+                    lambda x: x[0], first_final)
+            return means
 
         def _drain(item):
             d0, d1, dic, di, dlo, dseg, dsum, dok = item

@@ -155,6 +155,130 @@ def antithetic_run(build, TL, TR, ntraj: int, nsteps: Optional[int] = None,
     return (jf - jr) / 2
 
 
+def harmonic_twin_delta(build_harm, build_anh, TL, TR, ntraj: int,
+                        nsteps: Optional[int] = None,
+                        seed: Optional[int] = None,
+                        equil_frac: float = 0.25,
+                        block: Optional[int] = None, pair=(0, 1),
+                        chunk: Optional[int] = None,
+                        return_parts: bool = False):
+    """Anharmonic correction to the conductance current by a
+    HARMONIC-TWIN control variate (the VERDICT r3 headline item).
+
+    The plain antithetic estimator decorrelates under anharmonicity —
+    chaotic trajectories at swapped temperatures diverge, so the
+    zero-point-scale fluctuations stop cancelling (measured SEM 145%
+    at 32 flagship pairs, docs/PERF.md). Here each anharmonic
+    trajectory is paired with a harmonic twin driven by the IDENTICAL
+    noise realisation from the IDENTICAL warm-started state: the
+    shared colored-noise variance cancels in
+
+        Delta_i = J_anh,i - J_harm,i            (same keys, same init)
+
+    and the full estimate re-bases on the zero-Monte-Carlo theory,
+
+        J_anh = mean_i (Delta_fwd,i - Delta_rev,i)/2 + J_exact,
+
+    J_exact = ops.exact_gle.attractor_expected_currents of the
+    harmonic system (whose window expectation the harmonic twin
+    measures EXACTLY: on the periodic attractor the expected current
+    is time-independent up to a (-1)^t Nyquist term that cancels over
+    any even-length window). Only the anharmonic DELTA's own noise
+    survives in the SEM.
+
+    ``build_harm(Ta, Tb)`` / ``build_anh(Ta, Tb)``: runner factories
+    that must differ ONLY in the attached potential (same baths, same
+    dyn, same seed) — the harmonic one integrates -dyn q, the
+    anharmonic one the full driver. Both runs start AT the harmonic
+    periodic point of their own noise realisation; the anharmonic
+    trajectory's relaxation from it is handled by the shared
+    ``equil_frac`` discard (applied to BOTH sides of the pair, keeping
+    the CRN pairing window-aligned).
+
+    Returns the per-trajectory-pair deltas (ntraj,) in natural current
+    units: mean() + J_exact estimates the anharmonic current; std()/
+    sqrt(ntraj) is the SEM of the CORRECTION (and of the total, since
+    J_exact is deterministic). ``return_parts=True`` also returns the
+    per-pair antithetic currents (j_anh, j_harm) — j_anh.std() is the
+    spread the plain (decorrelated) anharmonic estimator would have
+    had, the control variate's own benchmark.
+    """
+    from sclmd_tpu.md import (_cur_reduce, gle_step_jacobian,
+                              period_power, periodic_fixed_point,
+                              state_ravel, state_unravel)
+
+    runner_h = build_harm(TL, TR)
+    nsteps = nsteps or runner_h.nmd
+    if nsteps != runner_h.nmd:
+        raise ValueError("harmonic_twin_delta needs nsteps == nmd "
+                         "(the warm start's period is the noise "
+                         "period)")
+    nb = len(runner_h.baths)
+    skip = int(nsteps * equil_frac)
+    if skip % 2:
+        skip -= 1            # even window: the (-1)^t Nyquist term
+    #                          of the attractor expectation cancels
+
+    A = gle_step_jacobian(runner_h._build_system())
+    AP = period_power(A, nsteps)
+    if seed is None:
+        key = runner_h._next_key()
+    else:
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), 99)
+
+    block_eff = block if block is not None else runner_h.block
+    if block_eff and nsteps % block_eff:
+        block_eff = None
+    chunk = int(chunk) if chunk else ntraj
+
+    def run_dir(Ta, Tb):
+        rh = build_harm(Ta, Tb)
+        ra = build_anh(Ta, Tb)
+        sys_h = rh._build_system()
+        sys_a = ra._build_system()
+        if sys_a.force_fn is None:
+            raise ValueError("build_anh attached no potential driver")
+        sysf = _noisy_system(rh)
+        j_a = np.zeros((ntraj,))
+        j_h = np.zeros((ntraj,))
+        for c0 in range(0, ntraj, chunk):
+            c1 = min(c0 + chunk, ntraj)
+            bsys_h = ensemble_noise(sysf, key, ntraj, lo=c0, hi=c1)
+            st0 = ensemble_states(bsys_h, ntraj, lo=c0, hi=c1)
+            fin1, _ = ensemble_run(bsys_h, st0, nsteps, t0=0,
+                                   block=block_eff)
+            x0 = periodic_fixed_point(A, state_ravel(fin1), nsteps,
+                                      power=AP)
+            stw = state_unravel(x0, sys_h, dtype=rh.dtype)
+            # identical noise leaves feed both twins (force_fn is a
+            # static field, so the sampled arrays are shared directly)
+            bsys_a = sys_a.replace(baths=bsys_h.baths)
+            _, ys_h = ensemble_run(bsys_h, stw, nsteps, t0=0,
+                                   block=block_eff)
+            _, ys_a = ensemble_run(bsys_a, stw, nsteps, t0=0,
+                                   block=block_eff)
+            sum_h, ok_h = _cur_reduce(ys_h["cur"], skip)
+            sum_a, ok_a = _cur_reduce(ys_a["cur"], skip)
+            if not (bool(np.asarray(ok_h)) and bool(np.asarray(ok_a))):
+                raise FloatingPointError(
+                    f"harmonic_twin_delta: non-finite currents in "
+                    f"trajectories [{c0}:{c1}]")
+            sa = np.asarray(sum_a) / (nsteps - skip)
+            sh = np.asarray(sum_h) / (nsteps - skip)
+            j_a[c0:c1] = (sa[:, pair[0]] - sa[:, pair[1]]) / 2
+            j_h[c0:c1] = (sh[:, pair[0]] - sh[:, pair[1]]) / 2
+        return j_a, j_h
+
+    af, hf = run_dir(TL, TR)
+    ar, hr = run_dir(TR, TL)
+    j_anh = (af - ar) / 2
+    j_harm = (hf - hr) / 2
+    delta = j_anh - j_harm
+    if return_parts:
+        return delta, j_anh, j_harm
+    return delta
+
+
 def make_mesh(axis_sizes: dict[str, int],
               devices: Optional[Sequence] = None) -> Mesh:
     """Build a Mesh from {'dp': n, 'tp': m}-style axis sizes."""
@@ -309,6 +433,88 @@ def ensemble_run(system: GLESystem, states: MDState, nsteps: int,
     this was cached.
     """
     return _ensemble_segment(system, states, nsteps, t0, block)
+
+
+def bath_factor_triples(baths):
+    """Host factor triples (ev_re, ev_im, std) per bath, with the
+    zero-stride proportional-spectrum broadcast collapsed to its single
+    (nc, nc) matrix (sample_noise_dev's dispatch rule)."""
+    facs = []
+    for b in baths:
+        if getattr(b, "nstd", None) is None:
+            raise ValueError("bath carries no PSD factors: call "
+                             "prepare_noise() first")
+        ev = np.asarray(b.nevecs)
+        std = np.asarray(b.nstd)
+        if ev.ndim == 3 and ev.strides[0] == 0:
+            ev = np.ascontiguousarray(ev[0])
+        facs.append((np.ascontiguousarray(ev.real),
+                     np.ascontiguousarray(ev.imag), std))
+    return tuple(facs)
+
+
+@partial(jax.jit, static_argnames=("nsteps", "t0", "block", "skiplo"))
+def _fused_chunk(hot: GLESystem, facs, nkeys, ikeys, hw, evecs, T_init,
+                 nsteps: int, t0: int, block: Optional[int],
+                 skiplo: int):
+    """Noise synthesis + initial states + segment run + current
+    reduction for one trajectory chunk as ONE compiled program.
+
+    The unfused path costs ~8-10 dispatches per chunk (per-bath key
+    folds/splits, per-bath batched samplers, the init broadcast, the
+    segment, the reduce) — at the tunnel's ~35 ms dispatch RTT that is
+    the entire raw-vs-e2e throughput gap at single-chunk ensemble
+    sizes (BENCH_r03: 396k raw vs 336k e2e at 256 trajectories).
+
+    ``facs``: bath_factor_triples output (device-put once per
+    ensemble — the full-spectrum factor batches are tens of MB).
+    ``nkeys``: per-bath (chunk, 2) uint32 key windows, exactly
+    ensemble_noise's schedule. ``ikeys``: (chunk, 2) thermal-init key
+    window (ensemble_states' schedule) or None for zero init.
+    Returns (final states, equilibration-skipped per-trajectory current
+    sums, finite flag).
+    """
+    from sclmd_tpu.ops.noise import sample_noise_parts, sample_noise_prop
+
+    dt, nmd = hot.dt, hot.nmd
+    baths = []
+    for i, b in enumerate(hot.baths):
+        evr, evi, std = facs[i]
+        sampler = sample_noise_prop if evr.ndim == 2 \
+            else sample_noise_parts
+        nz = jax.vmap(lambda k: sampler(k, evr, evi, std, dt, nmd))(
+            nkeys[i])
+        baths.append(b.replace(noise=nz))
+    sysb = hot.replace(baths=tuple(baths))
+    if ikeys is None:
+        st0 = initial_state(hot)
+        chunk = nkeys[0].shape[0] if hot.baths else ikeys.shape[0]
+        states = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (chunk,) + x.shape), st0)
+    else:
+        states = jax.vmap(lambda k: thermal_init(k, hot, hw, evecs,
+                                                 T_init))(ikeys)
+    if block is None:
+        fn = partial(run_segment, nsteps=nsteps, t0=t0)
+    else:
+        fn = partial(run_segment_blocked, nsteps=nsteps, t0=t0,
+                     block=block)
+    finals, ys = jax.vmap(fn, in_axes=(_system_axes(sysb), 0))(sysb,
+                                                               states)
+    sums = ys["cur"][:, skiplo:, :].sum(axis=1)
+    return finals, sums, jnp.isfinite(ys["cur"]).all()
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _key_schedule(key, i: jax.Array, n: int):
+    """ensemble_noise's per-bath key table, as one jit (tunnel-safe
+    transfer; eager op-chain outputs are flaky to pull to host)."""
+    return jax.random.split(jax.random.fold_in(key, i), n)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _init_key_schedule(key, n: int):
+    return jax.random.split(key, n)
 
 
 def shard_ensemble(mesh: Mesh, system: GLESystem, states: MDState,

@@ -399,19 +399,42 @@ class TestRunEnsemble:
                                efric=eta, dtype=jnp.float64))
         return runner
 
-    def test_chunked_matches_unchunked_bitwise(self, tmp_path):
+    def test_chunked_matches_unchunked(self, tmp_path):
         """Memory-wall chunking must not change the physics: the
         per-trajectory key schedule depends only on the trajectory
         index, so ceil(ntraj/chunk) sequential chunks reproduce the
-        single-batch run EXACTLY (same noise, same init draws)."""
+        single-batch run's noise and init draws EXACTLY. Since round 4
+        the chunk runs as ONE fused XLA program whose fusion pattern
+        depends on the chunk shape, so float summation order (and only
+        that) varies: equality holds to roundoff, not bitwise."""
         d1, d2, d3 = tmp_path / "a", tmp_path / "b", tmp_path / "c"
         for d in (d1, d2, d3):
             d.mkdir()
         m_full = self._chunk_runner(d1).RunEnsemble(6, chunk=6)
         m_c2 = self._chunk_runner(d2).RunEnsemble(6, chunk=2)
         m_c4 = self._chunk_runner(d3).RunEnsemble(6, chunk=4)  # ragged
-        np.testing.assert_array_equal(m_c2, m_full)
-        np.testing.assert_array_equal(m_c4, m_full)
+        np.testing.assert_allclose(m_c2, m_full, rtol=1e-11,
+                                   atol=1e-15)
+        np.testing.assert_allclose(m_c4, m_full, rtol=1e-11,
+                                   atol=1e-15)
+
+    def test_fused_matches_segmented_and_checkpoint_paths(self,
+                                                          tmp_path):
+        """The fused single-dispatch path (npie=1, checkpoint=False —
+        noise synthesis + init + run + reduce as ONE program per chunk)
+        must reproduce the segmented and checkpoint paths: identical
+        key schedules (ensemble_noise/ensemble_states'), equality to
+        XLA-fusion roundoff."""
+        d1, d2, d3 = tmp_path / "f", tmp_path / "s", tmp_path / "k"
+        for d in (d1, d2, d3):
+            d.mkdir()
+        m_fused = self._chunk_runner(d1).RunEnsemble(5)
+        m_ck = self._chunk_runner(d2).RunEnsemble(5, checkpoint=True)
+        m_seg = self._chunk_runner(d3).RunEnsemble(5, npie=2)
+        np.testing.assert_allclose(m_fused, m_ck, rtol=1e-11,
+                                   atol=1e-15)
+        np.testing.assert_allclose(m_fused, m_seg, rtol=1e-11,
+                                   atol=1e-15)
 
     def test_auto_chunk_sizing(self, tmp_path, monkeypatch):
         """auto_chunk honours the HBM budget: tiny budget -> chunk 1;
