@@ -89,11 +89,18 @@ class GLESystem:
     saveq: bool = struct.field(pytree_node=False, default=False)
     savef: bool = struct.field(pytree_node=False, default=False)
     cf_fn: Optional[Callable] = struct.field(pytree_node=False, default=None)
+    # optional TRACED parameters for force_fn (a pytree LEAF, unlike the
+    # static force_fn itself): lets differentiable knobs — e.g. the
+    # anharmonicity-strength lambda of the perturbative-response
+    # estimator — ride through jit/vmap/jvp without retracing
+    force_params: Optional[jax.Array] = None
 
     def potential_force(self, q: jax.Array) -> jax.Array:
         """Potential force: JAX driver if attached, else harmonic -D q
         (md.py:437-474)."""
         if self.force_fn is not None:
+            if self.force_params is not None:
+                return self.force_fn(q, self.force_params)
             return self.force_fn(q)
         if self.dyn is not None:
             return -(self.dyn @ q)
@@ -384,6 +391,21 @@ def _vv_step_body(system: GLESystem, state: MDState, noise_rows=None):
     if system.cf_fn is not None:
         out["cf"] = system.cf_fn(q) + system.dyn @ q
     return new_state, out
+
+
+def _write_text(path: str, text: str):
+    """Write a small text file through raw os.open/os.write.
+
+    Python's buffered ``open()`` costs ~2-3 ms per call once the jax
+    runtime is initialised on this platform (measured: 512 opens 1.37 s
+    after ``import jax`` + device work vs 92 ms in a fresh process; the
+    raw syscall path stays at ~0.13 ms) — per-trajectory kappa writes
+    were eating ~50% of a fused RunEnsemble call."""
+    fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+    try:
+        os.write(fd, text.encode())
+    finally:
+        os.close(fd)
 
 
 @partial(jax.jit, static_argnames=("lo",))
@@ -1223,14 +1245,14 @@ class md:
         # the segmented/checkpoint path exactly.
         if not checkpoint and npie == 1:
             from sclmd_tpu.parallel.ensemble import (
-                _fused_chunk, _init_key_schedule, _key_schedule,
-                bath_factor_triples)
+                _all_key_schedules, _fused_chunk, bath_factor_triples)
             facs = jax.device_put(bath_factor_triples(sys_f.baths))
-            nkeys_all = [np.asarray(_key_schedule(noise_key, i, ntraj))
-                         for i in range(nb)]
+            nk, ik = _all_key_schedules(
+                noise_key,
+                init_key if thermal else noise_key, nb, ntraj)
+            nkeys_all = np.asarray(nk)
             if thermal:
-                ikeys_all = np.asarray(_init_key_schedule(init_key,
-                                                          ntraj))
+                ikeys_all = np.asarray(ik)
                 hw_d = jnp.asarray(self.hw, self.dtype)
                 ev_d = jnp.asarray(self.U, self.dtype)
             else:
@@ -1262,14 +1284,7 @@ class md:
             for item in pending:
                 _drain_f(item)
             means = cur_sum / max(cur_cnt, 1)
-            for jtraj in range(ntraj):
-                for ii in range(nb):
-                    with open(os.path.join(
-                            self.outdir,
-                            f"kappa.{self.T:g}.bath{ii}.run{jtraj}.dat"),
-                            "w") as fk:
-                        fk.write("%i %f    %f \n" % (
-                            jtraj, self.T, means[jtraj, ii] * U.CURCOF))
+            self._write_kappa_files(ntraj, nb, means)
             if first_final is not None:
                 self.state = jax.tree_util.tree_map(
                     lambda x: x[0], first_final)
@@ -1366,17 +1381,23 @@ class md:
         for item in pending:
             _drain(item)
         means = cur_sum / max(cur_cnt, 1)
-        for jtraj in range(ntraj):
-            for ii in range(nb):
-                with open(os.path.join(
-                        self.outdir,
-                        f"kappa.{self.T:g}.bath{ii}.run{jtraj}.dat"),
-                        "w") as fk:
-                    fk.write("%i %f    %f \n" % (
-                        jtraj, self.T, means[jtraj, ii] * U.CURCOF))
+        self._write_kappa_files(ntraj, nb, means)
         if first_final is not None:
             self.state = first_final
         return means
+
+    def _write_kappa_files(self, ntraj, nb, means):
+        """Per-trajectory kappa files (reference kappa.T.bathI.runJ.dat
+        format, aggregated by calHF/calTC) through the raw-syscall
+        writer — see _write_text."""
+        for jtraj in range(ntraj):
+            for ii in range(nb):
+                _write_text(
+                    os.path.join(
+                        self.outdir,
+                        f"kappa.{self.T:g}.bath{ii}.run{jtraj}.dat"),
+                    "%i %f    %f \n" % (
+                        jtraj, self.T, means[jtraj, ii] * U.CURCOF))
 
     def _write_traj(self, fh, ys, seg, ipie):
         """ani-format trajectory frames every nstep steps (md.py:586-595)."""

@@ -279,6 +279,184 @@ def harmonic_twin_delta(build_harm, build_anh, TL, TR, ntraj: int,
     return delta
 
 
+def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
+                                     ntraj: int,
+                                     nsteps: Optional[int] = None,
+                                     seed: Optional[int] = None,
+                                     equil_frac: float = 0.25,
+                                     block: Optional[int] = None,
+                                     pair=(0, 1),
+                                     chunk: Optional[int] = None):
+    """Quantum anharmonic conductance correction by PERTURBATIVE
+    RESPONSE along the harmonic attractor — the estimator that survives
+    chaos.
+
+    Direct anharmonic MD cannot measure the quantum correction: the
+    per-pair antisymmetric-current spread of decorrelated chaotic
+    trajectories is ~60x the DeltaT signal on the flagship (measured;
+    ~6e5 pairs for a 2% SEM — see docs/PERF.md), because every CRN
+    pairing (antithetic, harmonic twin) loses its variance cancellation
+    once trajectories diverge. This estimator never integrates the
+    chaotic dynamics: with the family
+
+        F(q; lam) = -D q + lam [F_anh(q) + D q],      lam in [0, 1],
+
+    the currents J(lam) are differentiated AT lam = 0, where the primal
+    trajectory is the (non-chaotic, warm-started) harmonic attractor
+    and the jvp tangents obey driven-STABLE linear dynamics — no
+    Lyapunov amplification, and the antithetic CRN cancellation works
+    at full strength again. Forward-over-forward jvp through the
+    compiled scan gives per-trajectory
+
+        j0 = J(0)      (harmonic — must hit the exact attractor value),
+        d1 = dJ/dlam,  d2 = d2J/dlam2   at lam = 0,
+
+    so kappa_anh ~= kappa_exact + d1 + d2/2 with the measured |d2/2|
+    vs |d1| controlling the series truncation at lam = 1. Validated
+    against exact theory on a harmonic family (where J(lambda) has a
+    closed form at every lambda) — tests/test_exact_gle.py.
+
+    The warm start is differentiated along with the dynamics: starting
+    every lambda at the lambda=0 periodic point would leak the
+    ATTRACTOR's own lambda-motion into the window as a slowly-decaying
+    tangent transient (measured: 35% bias on d1, ~100% on d2 at a
+    2^11 chain tier). By the implicit function theorem on
+    x*(lam) = Phi_lam(x*(lam)),
+
+        x*'  = (I - A^P)^{-1} Phi_lam,
+        x*'' = (I - A^P)^{-1} psi''(0),
+        psi(lam) = Phi(x*_0 + lam x*', lam),
+
+    where Phi_lam / psi'' are state tangents of one period run —
+    measured runs then start at x*_0 + lam x*' + lam^2/2 x*'', the
+    attractor tracked to second order, so the window expectation of
+    (j0, d1, d2) is start-transient-free at ANY window.
+
+    Same build contract as ``harmonic_twin_delta``. Returns (j0, d1,
+    d2) arrays of shape (ntraj,), all antithetic-paired over (TL,TR)/
+    (TR,TL) with shared keys.
+    """
+    from sclmd_tpu.md import (gle_step_jacobian, period_power,
+                              periodic_fixed_point, state_ravel,
+                              state_unravel)
+
+    runner_h = build_harm(TL, TR)
+    nsteps = nsteps or runner_h.nmd
+    if nsteps != runner_h.nmd:
+        raise ValueError("perturbative_anharmonic_response needs "
+                         "nsteps == nmd")
+    skip = int(nsteps * equil_frac)
+    if skip % 2:
+        skip -= 1
+
+    A = gle_step_jacobian(runner_h._build_system())
+    AP = period_power(A, nsteps)
+    if seed is None:
+        key = runner_h._next_key()
+    else:
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), 99)
+
+    block_eff = block if block is not None else runner_h.block
+    if block_eff and nsteps % block_eff:
+        block_eff = None
+    chunk = int(chunk) if chunk else ntraj
+
+    def run_dir(Ta, Tb):
+        rh = build_harm(Ta, Tb)
+        ra = build_anh(Ta, Tb)
+        sys_h = rh._build_system()
+        f_anh = ra._build_system().force_fn
+        if f_anh is None:
+            raise ValueError("build_anh attached no potential driver")
+        dyn_j = sys_h.dyn
+
+        def fam_force(q, lam):
+            base = -(dyn_j @ q)
+            return base + lam * (f_anh(q) - base)
+
+        def sravel(st):
+            b = st.p.shape[0]
+            return jnp.concatenate(
+                [st.p, st.q, st.phis.reshape(b, -1),
+                 st.qhis.reshape(b, -1)], axis=-1)
+
+        sysf = _noisy_system(rh)
+        out = [np.zeros((ntraj,)) for _ in range(3)]
+        for c0 in range(0, ntraj, chunk):
+            c1 = min(c0 + chunk, ntraj)
+            bsys = ensemble_noise(sysf, key, ntraj, lo=c0, hi=c1)
+            st0 = ensemble_states(bsys, ntraj, lo=c0, hi=c1)
+            fin1, _ = ensemble_run(bsys, st0, nsteps, t0=0,
+                                   block=block_eff)
+            x0 = periodic_fixed_point(A, state_ravel(fin1), nsteps,
+                                      power=AP)
+            stw = state_unravel(x0, sys_h, dtype=rh.dtype)
+            bfam = bsys.replace(force_fn=fam_force)
+            dt_r = stw.p.dtype
+
+            def st_at(lam, d1st, d2st):
+                # attractor tracked to second order in lam
+                def comb(a, b, c):
+                    return a + lam * b + (lam * lam / 2) * c
+                return stw.replace(
+                    p=comb(stw.p, d1st.p, d2st.p),
+                    q=comb(stw.q, d1st.q, d2st.q),
+                    phis=comb(stw.phis, d1st.phis, d2st.phis),
+                    qhis=comb(stw.qhis, d1st.qhis, d2st.qhis))
+
+            zst = jax.tree_util.tree_map(jnp.zeros_like, stw)
+
+            def period_final(lam, d1st, d2st):
+                sysl = bfam.replace(
+                    force_params=jnp.asarray(lam, dt_r))
+                fin, _ = ensemble_run(sysl, st_at(lam, d1st, d2st),
+                                      nsteps, t0=0, block=block_eff)
+                return sravel(fin)
+
+            # x*' = (I - A^P)^{-1} Phi_lam  (implicit function theorem)
+            _, t1 = jax.jvp(lambda l: period_final(l, zst, zst),
+                            (0.0,), (1.0,))
+            x1p = periodic_fixed_point(A, np.asarray(t1, np.float64),
+                                       nsteps, power=AP)
+            dst1 = state_unravel(x1p, sys_h, dtype=dt_r)
+            # x*'' from psi(lam) = Phi(x*_0 + lam x*', lam)
+            _, (_, t2) = jax.jvp(
+                lambda l: jax.jvp(
+                    lambda m: period_final(m, dst1, zst), (l,),
+                    (1.0,)),
+                (0.0,), (1.0,))
+            x2p = periodic_fixed_point(A, np.asarray(t2, np.float64),
+                                       nsteps, power=AP)
+            dst2 = state_unravel(x2p, sys_h, dtype=dt_r)
+
+            def run_lam(lam):
+                sysl = bfam.replace(
+                    force_params=jnp.asarray(lam, dt_r))
+                _, ys = ensemble_run(sysl, st_at(lam, dst1, dst2),
+                                     nsteps, t0=0, block=block_eff)
+                s = ys["cur"][:, skip:, :].sum(axis=1) \
+                    / (nsteps - skip)
+                return (s[:, pair[0]] - s[:, pair[1]]) / 2
+
+            # one nested forward-over-forward pass: primal (j0, d1),
+            # tangent (d1, d2)
+            (j0, d1a), (_, d2) = jax.jvp(
+                lambda l: jax.jvp(run_lam, (l,), (1.0,)), (0.0,),
+                (1.0,))
+            for dst, val in zip(out, (j0, d1a, d2)):
+                arr = np.asarray(val)
+                if not np.isfinite(arr).all():
+                    raise FloatingPointError(
+                        "perturbative_anharmonic_response: non-finite "
+                        f"response in trajectories [{c0}:{c1}]")
+                dst[c0:c1] = arr
+        return out
+
+    f = run_dir(TL, TR)
+    r = run_dir(TR, TL)
+    return tuple((a - b) / 2 for a, b in zip(f, r))
+
+
 def make_mesh(axis_sizes: dict[str, int],
               devices: Optional[Sequence] = None) -> Mesh:
     """Build a Mesh from {'dp': n, 'tp': m}-style axis sizes."""
@@ -515,6 +693,17 @@ def _key_schedule(key, i: jax.Array, n: int):
 @partial(jax.jit, static_argnames=("n",))
 def _init_key_schedule(key, n: int):
     return jax.random.split(key, n)
+
+
+@partial(jax.jit, static_argnames=("nb", "n"))
+def _all_key_schedules(noise_key, init_key, nb: int, n: int):
+    """All per-bath noise key tables + the thermal-init table in ONE
+    program (one tunnel dispatch instead of nb + 1 — each dispatch
+    costs ~35 ms on the tunnel). Schedules are bitwise
+    ensemble_noise's / ensemble_states'."""
+    nk = jnp.stack([jax.random.split(jax.random.fold_in(noise_key, i),
+                                     n) for i in range(nb)])
+    return nk, jax.random.split(init_key, n)
 
 
 def shard_ensemble(mesh: Mesh, system: GLESystem, states: MDState,

@@ -340,6 +340,94 @@ class TestHarmonicTwinDelta:
         assert d.std() < 0.9 * j_anh.std(), (d.std(), j_anh.std())
 
 
+class TestPerturbativeResponse:
+    """parallel.ensemble.perturbative_anharmonic_response — jvp
+    derivatives of the antithetic conductance current at lambda=0,
+    along the stable harmonic attractor."""
+
+    def test_derivatives_match_exact_theory_of_harmonic_family(self):
+        """Choose the 'anharmonic' force to be a DIFFERENT harmonic
+        matrix: J(lambda) is then the conductance of the harmonic
+        system dyn(lambda) = (1-lambda) D + lambda D2, exactly
+        computable at every lambda by attractor_expected_currents —
+        the measured d1/d2 must match finite differences of the exact
+        theory, pinning the jvp, warm-start and window machinery with
+        zero modelling slack."""
+        import tempfile
+        from types import SimpleNamespace
+
+        from sclmd_tpu.md import md as MDRunner
+        from sclmd_tpu.parallel.ensemble import (
+            _noisy_system, perturbative_anharmonic_response)
+
+        nph, k, dt, nmd = 8, 0.04, 0.25 / 0.658, 2 ** 12
+        eta = 1.0 / (50 / 0.658)
+        TL, TR = 330.0, 270.0
+        D = np.asarray(chain_dynmat(nph, k))
+        # strong scattering perturbation: the middle spring weakened to
+        # 0.2 k (a uniform stiffening leaves the ballistic transmission
+        # ~1 and the conductance derivative unresolvably small)
+        D2 = D.copy()
+        i = nph // 2 - 1
+        dk = 0.2 * k - k
+        D2[i, i] += dk
+        D2[i + 1, i + 1] += dk
+        D2[i, i + 1] -= dk
+        D2[i + 1, i] -= dk
+        D2_j = jnp.asarray(D2)
+
+        def mk_build(dyn, anh):
+            def build(Ta, Tb):
+                r = MDRunner(dt, nmd, (Ta + Tb) / 2, dyn=dyn,
+                             dtype=jnp.float64, seed=7,
+                             outdir=tempfile.mkdtemp(prefix="pr_"))
+                r.AddBath(B.ebath([0], Ta, dt, nmd, wmax=1.0,
+                                  efric=np.eye(1) * eta,
+                                  dtype=jnp.float64))
+                r.AddBath(B.ebath([nph - 1], Tb, dt, nmd, wmax=1.0,
+                                  efric=np.eye(1) * eta,
+                                  dtype=jnp.float64))
+                if anh:
+                    r.AddPotential(SimpleNamespace(
+                        force=lambda q: -(D2_j @ q)))
+                return r
+            return build
+
+        ntraj = 64
+        j0, d1, d2 = perturbative_anharmonic_response(
+            mk_build(D, False), mk_build(D, True), TL, TR, ntraj,
+            seed=7)
+
+        def j_exact(lam):
+            dl = (1 - lam) * D + lam * D2
+            b = mk_build(dl, False)
+            th_f = attractor_expected_currents(_noisy_system(b(TL, TR)))
+            th_r = attractor_expected_currents(_noisy_system(b(TR, TL)))
+            return ((th_f[0] - th_f[1]) / 2
+                    - (th_r[0] - th_r[1]) / 2) / 2
+
+        # J(lambda) curves sharply (the h=0.05 FD is 26% off on d1);
+        # h -> 0 converges by h=0.004 in f64
+        h = 0.004
+        jm, j00, jp = j_exact(-h), j_exact(0.0), j_exact(h)
+        d1_ex = (jp - jm) / (2 * h)
+        d2_ex = (jp - 2 * j00 + jm) / h ** 2
+
+        n = len(j0)
+        for name, est, ref in (("j0", j0, j00), ("d1", d1, d1_ex),
+                               ("d2", d2, d2_ex)):
+            sem = est.std() / np.sqrt(n)
+            tol = 4 * sem + 0.02 * abs(ref)
+            assert abs(est.mean() - ref) < tol, (
+                name, est.mean(), ref, sem)
+        # the match must be a RESOLVED statement, not
+        # consistent-with-anything: the exact first derivative exceeds
+        # the estimator noise (measured 0.6 sigma deviation at 6+ sigma
+        # signal on this tier)
+        assert abs(d1_ex) > 4 * d1.std() / np.sqrt(n), (
+            d1_ex, d1.std() / np.sqrt(n))
+
+
 class TestExpectedCurrentsSlow:
     @pytest.mark.slow
     def test_matches_landauer_at_fine_grid(self):
