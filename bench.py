@@ -503,17 +503,73 @@ def crosscheck(jax, jnp):
                                   seed=seed, warm_start=True))
     wall = time.time() - t0
     j_md = float(j.mean())
+    j_ref = float(negf["j_nat"])
     sem = float(j.std() / np.sqrt(len(j)))
-    dev = (j_md - float(negf["j_nat"])) / float(negf["j_nat"])
-    return {
+    dev = (j_md - j_ref) / j_ref
+    out = {
         "kappa_md_nw_per_k": round(j_md / (XC_T * XC_DELTA) * U.CURCOF, 5),
         "kappa_negf_nw_per_k": round(float(negf["kappa_nw_per_k"]), 5),
         "dev_pct": round(dev * 100, 2),
-        "sem_pct": round(sem / abs(float(negf["j_nat"])) * 100, 2),
+        "sem_pct": round(sem / abs(j_ref) * 100, 2),
         "ntraj": ntraj, "nmd": nmd, "wall_s": round(wall, 1),
         "estimator": "antithetic CRN + periodic-attractor warm start "
                      "(parallel.ensemble.antithetic_run)",
     }
+
+    # ---- anharmonic QUANTUM correction (VERDICT r3 item 1) ----
+    # perturbative response along the stable harmonic attractor:
+    # kappa_anh ~= kappa_exact + d1 + d2/2 with jvp-tight statistics
+    # (direct anharmonic MD is infeasible here: per-pair spread ~60x
+    # the DeltaT signal after chaotic decorrelation — docs/PERF.md)
+    try:
+        from sclmd_tpu.models.hydrocarbon import CHDriver
+        from sclmd_tpu.parallel.ensemble import \
+            perturbative_anharmonic_response
+
+        drv = CHDriver(axyz, dtype=jnp.float32)
+
+        def build_anh(Ta, Tb):
+            r = build(Ta, Tb)
+            r.AddPotential(drv)
+            return r
+
+        exact_fn = os.path.join(os.path.dirname(NEGF_CACHE),
+                                f"flagship_exact_nmd{nmd}.npz")
+        j_exact = (float(np.load(exact_fn)["j_nat"])
+                   if os.path.exists(exact_fn) else j_ref)
+        t0 = time.time()
+        j0, d1, d2 = perturbative_anharmonic_response(
+            build, build_anh, TL, TR, ntraj, nsteps=nmd, seed=seed)
+        rn = np.sqrt(ntraj)
+        corr = float(d1.mean() + d2.mean() / 2)
+        csem = float(np.hypot(d1.std(), d2.std() / 2) / rn)
+        j_anh = j_exact + corr
+        out.update({
+            "anh_wall_s": round(time.time() - t0, 1),
+            "anh_estimator": "perturbative response (jvp) on the "
+                             "harmonic attractor, order 2",
+            "anh_exact_base": "exact_gle" if j_exact != j_ref
+                              else "landauer (exact cache missing)",
+            "anh_j0_gate_dev_pct": round(
+                (float(j0.mean()) - j_exact) / j_ref * 100, 3),
+            "anh_d1_pct": round(float(d1.mean()) / j_ref * 100, 3),
+            "anh_d1_sem_pct": round(float(d1.std()) / rn / j_ref * 100,
+                                    3),
+            "anh_d2half_pct": round(float(d2.mean()) / 2 / j_ref * 100,
+                                    3),
+            "anh_d2half_sem_pct": round(
+                float(d2.std()) / 2 / rn / j_ref * 100, 3),
+            "anh_correction_pct": round(corr / j_ref * 100, 3),
+            "anh_correction_sem_pct": round(csem / j_ref * 100, 3),
+            "anh_kappa_md_nw_per_k": round(
+                j_anh / (XC_T * XC_DELTA) * U.CURCOF, 5),
+            "anharmonic_quantum_dev_pct": round(
+                (j_anh - j_ref) / j_ref * 100, 2),
+            "anharmonic_quantum_sem_pct": round(csem / j_ref * 100, 2),
+        })
+    except Exception as e:       # noqa: BLE001 — keep the harmonic
+        out["anh_error"] = repr(e)   # headline alive
+    return out
 
 
 SECTIONS = ("flagship", "crosscheck", "primary", "primary_scaling",
@@ -628,8 +684,13 @@ def main():
             xc["kappa_negf_nw_per_k"]
         result["crosscheck_dev_pct"] = xc["dev_pct"]
         result["crosscheck_sem_pct"] = xc["sem_pct"]
-        for k in ("anh_kappa_md_nw_per_k", "anh_dev_pct", "anh_sem_pct",
-                  "anh_correction_pct", "anh_correction_sem_pct"):
+        for k in ("anh_estimator", "anh_exact_base",
+                  "anh_j0_gate_dev_pct", "anh_d1_pct",
+                  "anh_d1_sem_pct", "anh_d2half_pct",
+                  "anh_d2half_sem_pct", "anh_correction_pct",
+                  "anh_correction_sem_pct", "anh_kappa_md_nw_per_k",
+                  "anharmonic_quantum_dev_pct",
+                  "anharmonic_quantum_sem_pct", "anh_error"):
             if k in xc:
                 result["crosscheck_" + k] = xc[k]
     print(json.dumps(result))
