@@ -286,7 +286,8 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
                                      equil_frac: float = 0.25,
                                      block: Optional[int] = None,
                                      pair=(0, 1),
-                                     chunk: Optional[int] = None):
+                                     chunk: Optional[int] = None,
+                                     family: str = "taylor"):
     """Quantum anharmonic conductance correction by PERTURBATIVE
     RESPONSE along the harmonic attractor — the estimator that survives
     chaos.
@@ -332,6 +333,26 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
     attractor tracked to second order, so the window expectation of
     (j0, d1, d2) is start-transient-free at ANY window.
 
+    ``family`` picks the interpolation path lambda -> F(q; lam):
+
+    * ``"taylor"`` (default, the physical estimator): the
+      amplitude-scaling family V_lam(q) = V(lam q)/lam^2, whose force
+      is F_lam = -D q + lam [L + Phi3](q) + lam^2 Phi4(q) with L the
+      (roundoff-scale) Hessian mismatch and Phi3/Phi4 the cubic and
+      quartic force terms, extracted per evaluation point by a
+      third-order jvp jet of the driver force along q. At lam = 1 this
+      is the potential's quartic normal form — textbook anharmonic
+      perturbation theory, where corrections enter at O(Phi3^2, Phi4):
+      E[d1] = 0 by Gaussian parity (a built-in null gate) and the
+      physical correction is d2/2. Polynomial forcing keeps the
+      response finite at any amplitude.
+    * ``"force"``: the naive straight-line family
+      F_lam = -Dq + lam (F_anh + Dq). DIVERGES on stiff many-body
+      potentials (measured: d2 ~ 1e7 x the signal on the flagship —
+      harmonic excursions of soft flexural modes extrapolate into the
+      Morse/Tersoff exponential walls); kept for small-perturbation
+      validation and as the documented failure mode.
+
     Same build contract as ``harmonic_twin_delta``. Returns (j0, d1,
     d2) arrays of shape (ntraj,), all antithetic-paired over (TL,TR)/
     (TR,TL) with shared keys.
@@ -370,9 +391,34 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
             raise ValueError("build_anh attached no potential driver")
         dyn_j = sys_h.dyn
 
-        def fam_force(q, lam):
-            base = -(dyn_j @ q)
-            return base + lam * (f_anh(q) - base)
+        if family == "force":
+            def fam_force(q, lam):
+                base = -(dyn_j @ q)
+                return base + lam * (f_anh(q) - base)
+        elif family == "taylor":
+            def fam_force(q, lam):
+                base = -(dyn_j @ q)
+
+                # third-order jvp jet of e -> F_anh(e q) - (-D e q)
+                # at e = 0: one nested pass yields g'(0) (Hessian
+                # mismatch L q), g''(0)/2 (cubic force Phi3(q)) and
+                # g'''(0)/6 (quartic force Phi4(q))
+                def Fe(e):
+                    return f_anh(e * q) - base * e
+
+                def i1(e):
+                    return jax.jvp(Fe, (e,), (1.0,))
+
+                def i2(e):
+                    return jax.jvp(i1, (e,), (1.0,))
+
+                P, T = jax.jvp(i2, (0.0,), (1.0,))
+                (_, g1), (_, g2) = P        # ((F0, g1), (g1, g2))
+                (_, _g2b), (_, g3) = T      # ((g1, g2), (g2, g3))
+                return (base + lam * (g1 + 0.5 * g2)
+                        + (lam * lam / 6.0) * g3)
+        else:
+            raise ValueError(f"unknown family {family!r}")
 
         def sravel(st):
             b = st.p.shape[0]

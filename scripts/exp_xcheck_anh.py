@@ -43,7 +43,8 @@ DT = 0.25 / 0.658
 DAMP_NAT = 100 / 0.658211814201041
 
 
-def builders(axyz, part, dyn, nmd, seed, zpmotion=True):
+def builders(axyz, part, dyn, nmd, seed, zpmotion=True,
+             classical=False):
     import tempfile
 
     import jax.numpy as jnp
@@ -62,7 +63,8 @@ def builders(axyz, part, dyn, nmd, seed, zpmotion=True):
             eta = (1.0 / DAMP_NAT) * np.identity(len(cats))
             runner.AddBath(B.ebath(cats, tt, runner.dt, runner.nmd,
                                    wmax=1.0, nw=500, efric=eta,
-                                   zpmotion=zpmotion))
+                                   zpmotion=zpmotion,
+                                   classical=classical))
         runner.AddConstr([part["fixdofs"]])
         return runner
 

@@ -428,6 +428,64 @@ class TestPerturbativeResponse:
             d1_ex, d1.std() / np.sqrt(n))
 
 
+class TestPerturbativeFamilies:
+    """The two interpolation families must agree where both are valid:
+    for a PURE quartic perturbation F_anh = -Dq - k3 q^3 the taylor
+    family runs J(lam^2 k3) and the force family J(lam k3), so
+    d2_taylor / 2 == d1_force; and d1_taylor is a Gaussian-parity null
+    (odd moments of the harmonic ensemble vanish)."""
+
+    def test_taylor_family_consistency_on_quartic_chain(self):
+        import tempfile
+        from types import SimpleNamespace
+
+        from sclmd_tpu.md import md as MDRunner
+        from sclmd_tpu.parallel.ensemble import \
+            perturbative_anharmonic_response
+
+        nph, k, dt, nmd = 8, 0.04, 0.25 / 0.658, 2 ** 11
+        eta = 1.0 / (50 / 0.658)
+        kappa3 = 4e-4
+        TL, TR = 345.0, 255.0
+        dyn = np.asarray(chain_dynmat(nph, k))
+        dyn_j = jnp.asarray(dyn)
+
+        def base(Ta, Tb):
+            r = MDRunner(dt, nmd, (Ta + Tb) / 2, dyn=dyn,
+                         dtype=jnp.float64, seed=9,
+                         outdir=tempfile.mkdtemp(prefix="fam_"))
+            r.AddBath(B.ebath([0], Ta, dt, nmd, wmax=1.0,
+                              efric=np.eye(1) * eta,
+                              dtype=jnp.float64))
+            r.AddBath(B.ebath([nph - 1], Tb, dt, nmd, wmax=1.0,
+                              efric=np.eye(1) * eta,
+                              dtype=jnp.float64))
+            return r
+
+        def build_anh(Ta, Tb):
+            r = base(Ta, Tb)
+            r.AddPotential(SimpleNamespace(
+                force=lambda q: -(dyn_j @ q) - kappa3 * q ** 3))
+            return r
+
+        ntraj = 16
+        j0f, d1f, d2f = perturbative_anharmonic_response(
+            base, build_anh, TL, TR, ntraj, seed=5, family="force")
+        j0t, d1t, d2t = perturbative_anharmonic_response(
+            base, build_anh, TL, TR, ntraj, seed=5, family="taylor")
+        # identical lambda=0 primals
+        np.testing.assert_allclose(j0t, j0f, rtol=1e-9)
+        # d1_taylor: parity null — zero up to estimator noise, tiny
+        # vs the physical response scale
+        sem1t = d1t.std() / np.sqrt(ntraj)
+        assert abs(d1t.mean()) < max(4 * sem1t, 1e-3 * abs(
+            d1f.mean())), (d1t.mean(), sem1t)
+        # family chain rule: J_t(lam) = J_f(lam^2)
+        # -> d2_t / 2 == d1_f, per trajectory (same noise keys)
+        np.testing.assert_allclose(d2t / 2, d1f, rtol=5e-3,
+                                   atol=1e-12)
+
+
 class TestExpectedCurrentsSlow:
     @pytest.mark.slow
     def test_matches_landauer_at_fine_grid(self):
