@@ -354,6 +354,78 @@ def attractor_expected_currents(system, progress=False,
     return out
 
 
+def attractor_covariance(system, prep=None, line_chunk=None,
+                         progress=False, block="q"):
+    """Exact single-time covariance of the periodic attractor state.
+
+    Same derivation as attractor_expected_currents (module docstring):
+    the per-line periodic solution is X_k = (z_k I - A)^{-1}
+    (B0 + z_k B1) P_k per unit standard normal, so
+
+        E[x x^T] = sum_k (a_k^2 / 2) ( Re[X_k X_k^H]
+                                       + delta_k Re[X_k X_k^T] ).
+
+    ``block``: "q" (default) returns the (nph, nph) position block —
+    the smearing covariance for the SCP renormalized Hessian
+    (ops.anharmonic): it is the distribution the warm harmonic MD
+    ensemble ACTUALLY samples, with the friction broadening and the
+    finite noise comb included. In particular ultra-soft junction
+    modes (below or between comb lines) get their true, finite
+    attractor variance — not the divergent kT/w^2 of the isolated-mode
+    continuum formula. "p" returns the momentum block, "x" the full
+    state. Host-f64, Schur path; cost is comparable to one
+    expected-currents evaluation at the same tier.
+    """
+    baths = system.baths
+    if any(getattr(b, "nstd", None) is None for b in baths):
+        raise ValueError("baths must carry PSD factors: call "
+                         "bath.prepare_noise() before building the "
+                         "system")
+    if prep is None:
+        prep = prepare_attractor(system)
+    T, Q = prep["T"], prep["Q"]
+    K0, K1 = prep["K0"], prep["K1"]
+    n = T.shape[0]
+    ncs = [b.nc for b in baths]
+    m = sum(ncs)
+    nph = system.nph
+    rows = {"q": slice(nph, 2 * nph), "p": slice(0, nph),
+            "x": slice(0, n)}[block]
+    Qr = Q[rows, :]
+    nr = Qr.shape[0]
+    if line_chunk is None:
+        line_chunk = int(max(8, min(256, 1.5e9 / (n * m * 16 * 4))))
+    nmd, dt = system.nmd, system.dt
+    h = nmd // 2
+
+    U = [np.asarray(b.nevecs, np.complex128) for b in baths]
+    S = [np.asarray(b.nstd, np.float64) for b in baths]
+    offs = np.concatenate([[0], np.cumsum(ncs)]).astype(int)
+    C = np.zeros((nr, nr))
+    for k0 in range(0, h + 1, line_chunk):
+        ks = np.arange(k0, min(k0 + line_chunk, h + 1))
+        nz = len(ks)
+        zs = np.exp(-2j * np.pi * ks / nmd)
+        Pn = np.zeros((nz, m, m), np.complex128)
+        for i in range(len(baths)):
+            sl = slice(offs[i], offs[i + 1])
+            Pn[:, sl, sl] = U[i][ks] * S[i][ks][:, None, :]
+        KP0 = np.tensordot(K0, Pn, axes=([1], [1]))      # (n, nz, m)
+        KP1 = np.tensordot(K1, Pn, axes=([1], [1]))
+        Cs = (KP0 + zs[None, :, None] * KP1).transpose(1, 0, 2)
+        Y = _solve_shifted_triangular_batch(T, zs, Cs)   # (nz, n, m)
+        X = np.tensordot(Qr, Y, axes=([1], [1]))          # (nr, nz, m)
+        a = np.where((ks == 0) | (ks == h), 1.0, 2.0) / (nmd * dt)
+        w = a * a / 2.0
+        C += np.einsum("z,izm,jzm->ij", w, X, np.conj(X)).real
+        pseudo = np.where((ks == 0) | (ks == h), w, 0.0)
+        if pseudo.any():
+            C += np.einsum("z,izm,jzm->ij", pseudo, X, X).real
+        if progress:
+            print(f"  exact_gle(cov) line {ks[-1]}/{h}", flush=True)
+    return 0.5 * (C + C.T)
+
+
 def _attractor_expected_schur(system, progress=False, prep=None,
                               line_chunk=None):
     """Schur + rank-factored-form evaluation of the same sum (see

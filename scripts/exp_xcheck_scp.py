@@ -1,0 +1,306 @@
+"""Anharmonic QUANTUM flagship conductance via SCP renormalization
+(VERDICT r3 item 1 — the production observable).
+
+Pipeline (ops.anharmonic docstring has the estimator derivation):
+
+  probes  : D_eff = <Hessian(qbar + z)>, z ~ N(0, C0_quantum) on the
+            201-atom structure.data junction (CPU f64, ~5 min)
+  exact   : kappa_exact(D_variant) by the zero-MC attractor theory
+            (ops.exact_gle, Schur path) at a chosen nmd tier
+            (~1 s/line: 2^10 -> 8.5 min, 2^11 -> 17 min)
+  report  : delta_kappa = kappa(D_eff) - kappa(D) per tier, probe-SEM
+            from the A/B half renormalizations, grid independence of
+            the DIFFERENCE across tiers, classical-vs-direct-MD
+            consistency; writes flagship_scp_summary.npz for bench.py
+
+The reference's validation config is anharmonic MD vs harmonic NEGF
+(ref examples/runmd.py:27 vs examples/runnegf.py:17-28) with no error
+bars; this replaces it with a deterministic quantum number whose only
+stochastic input is the probe average of a smooth local quantity.
+
+    python scripts/exp_xcheck_scp.py cov --nmd LOG2N [--classical]
+    python scripts/exp_xcheck_scp.py probes [--classical] [--npairs N]
+        [--seed S] [--cov-nmd LOG2N]
+    python scripts/exp_xcheck_scp.py exact --which base|eff|effA|effB
+        --nmd LOG2N [--classical]
+    python scripts/exp_xcheck_scp.py report
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+NEGF_CACHE = os.path.join(HERE, "flagship_negf.npz")
+
+T, DELTA = 300.0, 0.1
+DT = 0.25 / 0.658
+DAMP_NAT = 100 / 0.658211814201041
+
+
+def arg(name, default, cast=int):
+    return cast(sys.argv[sys.argv.index(name) + 1]) \
+        if name in sys.argv else default
+
+
+def _cpu():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+
+def _flagship():
+    negf = np.load(NEGF_CACHE)
+    axyz = [[str(e)] + list(map(float, p))
+            for e, p in zip(negf["els"], negf["pos"])]
+    return negf, axyz
+
+
+def dd_path(classical):
+    return os.path.join(
+        HERE, f"flagship_scp_dD{'_cl' if classical else ''}.npz")
+
+
+def exact_path(which, log2nmd, classical):
+    return os.path.join(
+        HERE, f"flagship_exact_scp_{which}"
+              f"{'_cl' if classical else ''}_nmd{2 ** log2nmd}.npz")
+
+
+def cov_path(log2nmd, classical=False):
+    return os.path.join(
+        HERE, f"flagship_cov{'_cl' if classical else ''}"
+              f"_nmd{2 ** log2nmd}.npz")
+
+
+def _runner(nmd, dyn, classical=False):
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from sclmd_tpu import baths as B
+    from sclmd_tpu.md import md as MDRunner
+    from sclmd_tpu.utils.junction import partition_by_axis
+
+    negf, axyz = _flagship()
+    part = partition_by_axis(axyz)
+    TL, TR = T * (1 + DELTA / 2), T * (1 - DELTA / 2)
+    runner = MDRunner(DT, nmd, T, axyz=axyz, dyn=dyn,
+                      dtype=jnp.float64,
+                      outdir=tempfile.mkdtemp(prefix="xscp_"))
+    for cats, tt in ((part["ecatsl"], TL), (part["ecatsr"], TR)):
+        eta = (1.0 / DAMP_NAT) * np.identity(len(cats))
+        runner.AddBath(B.ebath(cats, tt, runner.dt, runner.nmd,
+                               wmax=1.0, nw=500, efric=eta,
+                               classical=classical))
+    runner.AddConstr([part["fixdofs"]])
+    return runner, part
+
+
+def cov():
+    """Exact attractor position covariance — the probe measure for the
+    SCP smearing. This is the distribution the warm harmonic MD
+    ensemble actually samples at this tier: comb discretization and
+    friction broadening included, so ultra-soft junction modes get
+    their true finite variance (the continuum kT/w^2 formula would put
+    14 Angstrom excursions on the ~5e-4 eV libration modes — measured
+    here before switching; the Tersoff walls confine them in reality)."""
+    _cpu()
+    from sclmd_tpu.ops.exact_gle import attractor_covariance
+
+    log2nmd = arg("--nmd", 11)
+    classical = "--classical" in sys.argv
+    negf, axyz = _flagship()
+    dyn = np.asarray(negf["dyn_ev2"], np.float64)
+    runner, part = _runner(2 ** log2nmd, dyn, classical=classical)
+    system = runner._build_system()
+    system = system.replace(baths=tuple(
+        b.prepare_noise() for b in runner.baths))
+    t0 = time.time()
+    C = attractor_covariance(system, progress=True)
+    wall = time.time() - t0
+    print(f"attractor covariance nmd=2^{log2nmd}: tr={np.trace(C):.3f}"
+          f" ({wall:.0f} s)")
+    np.savez(cov_path(log2nmd, classical), C=C, nmd=2 ** log2nmd,
+             wall_s=wall, classical=classical)
+    print(f"  -> {cov_path(log2nmd, classical)}")
+
+
+def probes():
+    _cpu()
+    import jax.numpy as jnp
+
+    from sclmd_tpu.models.hydrocarbon import CHDriver
+    from sclmd_tpu.ops.anharmonic import smeared_hessian
+    from sclmd_tpu.utils.junction import partition_by_axis
+
+    classical = "--classical" in sys.argv
+    npairs = arg("--npairs", 64)
+    seed = arg("--seed", 5)
+    cov_nmd = arg("--cov-nmd", 11)
+
+    negf, axyz = _flagship()
+    part = partition_by_axis(axyz)
+    dyn = negf["dyn_ev2"]
+    nph = 3 * len(axyz)
+    free = np.setdiff1d(np.arange(nph), np.asarray(part["fixdofs"]))
+    drv = CHDriver(axyz, dtype=jnp.float64)
+
+    # probe measure: the exact attractor covariance at this tier
+    # (cov stage) restricted to the free subspace
+    Cfull = np.load(cov_path(cov_nmd, classical))["C"]
+    cov_ff = Cfull[np.ix_(free, free)]
+
+    t0 = time.time()
+    res = smeared_hessian(drv.force_jax, nph, dyn, T, npairs=npairs,
+                          seed=seed, free=free, classical=classical,
+                          cov_ff=cov_ff, progress=False)
+    wall = time.time() - t0
+    a, b = res["dD_halves"]
+    rel = np.linalg.norm(res["dD"]) / np.linalg.norm(dyn)
+    half_spread = np.linalg.norm(a - b) / max(np.linalg.norm(res["dD"]),
+                                              1e-300)
+    print(f"SCP probes ({'classical' if classical else 'quantum'}): "
+          f"npairs={npairs} cov_nmd=2^{cov_nmd} ({wall:.0f} s)")
+    print(f"  ||dD||/||D|| = {rel:.3e}, h0 gate {res['h0_gate']:.2e}, "
+          f"A/B half spread {half_spread * 100:.1f}% of ||dD||, "
+          f"|qbar|_max = {np.abs(res['qbar']).max():.3f}")
+    np.savez(dd_path(classical), dD=res["dD"], dD_A=a, dD_B=b,
+             qbar=res["qbar"], h0_gate=res["h0_gate"],
+             var_modes=res["var_modes"], w_modes=res["w_modes"],
+             npairs=npairs, seed=seed, cov_nmd=cov_nmd,
+             classical=classical, wall_s=wall)
+    print(f"  -> {dd_path(classical)}")
+
+
+def exact():
+    _cpu()
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from sclmd_tpu import baths as B
+    from sclmd_tpu import units as U
+    from sclmd_tpu.md import md as MDRunner
+    from sclmd_tpu.ops.exact_gle import attractor_expected_currents
+    from sclmd_tpu.utils.junction import partition_by_axis
+
+    which = arg("--which", "base", str)
+    log2nmd = arg("--nmd", 11)
+    classical = "--classical" in sys.argv
+    nmd = 2 ** log2nmd
+
+    negf, axyz = _flagship()
+    part = partition_by_axis(axyz)
+    dyn = np.asarray(negf["dyn_ev2"], np.float64)
+    if which != "base":
+        dd = np.load(dd_path(classical))
+        key = {"eff": "dD", "effA": "dD_A", "effB": "dD_B"}[which]
+        dyn = dyn + dd[key]
+    TL, TR = T * (1 + DELTA / 2), T * (1 - DELTA / 2)
+
+    runner = MDRunner(DT, nmd, T, axyz=axyz, dyn=dyn,
+                      dtype=jnp.float64,
+                      outdir=tempfile.mkdtemp(prefix="xscp_"))
+    for cats, tt in ((part["ecatsl"], TL), (part["ecatsr"], TR)):
+        eta = (1.0 / DAMP_NAT) * np.identity(len(cats))
+        runner.AddBath(B.ebath(cats, tt, runner.dt, runner.nmd,
+                               wmax=1.0, nw=500, efric=eta,
+                               classical=classical))
+    runner.AddConstr([part["fixdofs"]])
+    system = runner._build_system()
+    system = system.replace(baths=tuple(
+        b.prepare_noise() for b in runner.baths))
+
+    t0 = time.time()
+    th = attractor_expected_currents(system, progress=True,
+                                     method="schur")
+    wall = time.time() - t0
+    j = float((th[0] - th[1]) / 2)
+    print(f"exact[{which}{' cl' if classical else ''}] nmd={nmd}: "
+          f"J={j:.6e} kappa={j / (T * DELTA) * U.CURCOF:.5f} nW/K "
+          f"({wall:.0f} s)")
+    np.savez(exact_path(which, log2nmd, classical),
+             j_currents=np.asarray(th), j_nat=j, nmd=nmd,
+             kappa_nw_per_k=j / (T * DELTA) * U.CURCOF, wall_s=wall,
+             which=which, classical=classical)
+
+
+def report():
+    from sclmd_tpu import units as U
+
+    negf = np.load(NEGF_CACHE)
+    j_ref = float(negf["j_nat"])
+    out = {}
+
+    def j_of(which, log2nmd, classical=False):
+        p = exact_path(which, log2nmd, classical)
+        return float(np.load(p)["j_nat"]) if os.path.exists(p) else None
+
+    print("=== SCP anharmonic quantum flagship conductance ===")
+    tiers = []
+    for lg in (10, 11, 12, 13):
+        jb, je = j_of("base", lg), j_of("eff", lg)
+        if jb is None or je is None:
+            continue
+        tiers.append((lg, jb, je, (je - jb) / jb))
+        print(f"  nmd=2^{lg}: kappa(D)={jb:.6e}  kappa(D_eff)={je:.6e}"
+              f"  delta {(je - jb) / jb * 100:+.3f}%")
+    if not tiers:
+        print("  (no exact eval pairs found)")
+        return
+    lg, jb, je, dk = tiers[-1]          # finest tier
+    # probe-SEM: the same observable through the A/B half dD's
+    ja, jb2 = j_of("effA", 10), j_of("effB", 10)
+    jbase10 = j_of("base", 10)
+    sem = None
+    if ja is not None and jb2 is not None and jbase10 is not None:
+        da, db = (ja - jbase10) / jbase10, (jb2 - jbase10) / jbase10
+        # halves use npairs/2 each: SEM(mean) = |dA-dB|/2
+        sem = abs(da - db) / 2
+        print(f"  probe halves @2^10: delta_A {da * 100:+.3f}% "
+              f"delta_B {db * 100:+.3f}% -> probe-SEM "
+              f"{sem * 100:.3f}%")
+    if len(tiers) > 1:
+        spread = max(t[3] for t in tiers) - min(t[3] for t in tiers)
+        print(f"  grid spread of delta across tiers: "
+              f"{spread * 100:.3f}% (comb bias cancels in the "
+              f"difference)")
+        out["grid_spread_pct"] = spread * 100
+
+    # headline: finest cached base kappa + the grid-converged delta
+    base14 = os.path.join(HERE, "flagship_exact_nmd16384.npz")
+    j14 = float(np.load(base14)["j_nat"]) if os.path.exists(base14) \
+        else jb
+    j_anh = j14 * (1 + dk)
+    kappa = j_anh / (T * DELTA) * U.CURCOF
+    print(f"  kappa_anh(quantum) = {kappa:.5f} nW/K "
+          f"(= exact@2^14 x (1 {dk * 100:+.3f}%))")
+    print(f"  vs continuum Landauer {float(negf['kappa_nw_per_k']):.5f}"
+          f" nW/K: {(j_anh - j_ref) / j_ref * 100:+.2f}%")
+
+    # classical consistency vs the direct MD measurement (PERF.md)
+    jcb, jce = j_of("base", 10, True), j_of("eff", 10, True)
+    if jcb is not None and jce is not None:
+        dcl = (jce - jcb) / jcb
+        print(f"  classical SCP delta @2^10: {dcl * 100:+.3f}% "
+              f"(direct classical MD measured +0.5% +- ~3%, PERF.md)")
+        out["delta_classical_pct"] = dcl * 100
+
+    out.update({
+        "delta_quantum_pct": dk * 100,
+        "probe_sem_pct": sem * 100 if sem is not None else np.nan,
+        "kappa_anh_nw_per_k": kappa,
+        "j_anh_nat": j_anh,
+        "dev_vs_landauer_pct": (j_anh - j_ref) / j_ref * 100,
+        "base_tier_log2": lg,
+    })
+    np.savez(os.path.join(HERE, "flagship_scp_summary.npz"), **out)
+    print(f"  -> flagship_scp_summary.npz")
+
+
+if __name__ == "__main__":
+    {"cov": cov, "probes": probes, "exact": exact,
+     "report": report}[sys.argv[1]]()
