@@ -65,8 +65,12 @@ class JaxDriver:
             return conv_h * f
 
         self._abs_force = jax.jit(_abs_force)
-        self._energy = jax.jit(
-            lambda q: energy_fn((xyz_h + conv_h * q).reshape(na, 3)))
+
+        def _energy_q(q):
+            return energy_fn((xyz_h + conv_h * q).reshape(na, 3))
+
+        self.energy_jax = _energy_q   # traceable q-space energy (eV)
+        self._energy = jax.jit(_energy_q)
         self.initforce()
 
     # --- reference driver protocol ---
@@ -190,6 +194,11 @@ class DriverShell:
 
     def force_jax(self, q):
         return self._drv.force_jax(q)
+
+    def energy_jax(self, q):
+        """Jit-traceable total energy (eV) at relative displacement q
+        (mass-weighted natural coordinates, like force_jax)."""
+        return self._drv.energy_jax(q)
 
     def absforce(self, q):
         return self._drv.absforce(q)

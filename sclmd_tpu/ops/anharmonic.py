@@ -46,6 +46,120 @@ from sclmd_tpu import units as U
 from sclmd_tpu.ops.functions import bose
 
 
+def line_variance_1d(energy_fn, direction, T, s0=4.0,
+                     smax_cap=4096.0, vmax_kt=14.0, npts=513):
+    """Classical 1-D Boltzmann variance <s^2> along a mass-weighted
+    direction of the FULL anharmonic potential (all other coordinates
+    frozen at the expansion point).
+
+        <s^2> = int s^2 e^{-V(s v)/kT} ds / int e^{-V(s v)/kT} ds
+
+    This is the exact classical thermal variance of the (frozen-bath)
+    1-D cut — the confinement measure for modes that the HARMONIC
+    model does not confine: near-null and negative-curvature librations
+    of a relaxed junction (the flagship structure.data Hessian carries
+    ~6 modes with w^2 < 0 down to -(3.6 meV)^2 — saddle directions of
+    the relaxed geometry whose true potential is a shallow anharmonic
+    well). Classical is the right statistics here by construction:
+    these directions satisfy hbar|w| << kT.
+
+    The bracket [−smax, +smax] is grown adaptively (doubling from
+    ``s0``) until the potential rises ``vmax_kt`` kT on BOTH sides;
+    raises if the direction is unconfined within ``smax_cap`` (a truly
+    free direction — e.g. a global translation — has no Boltzmann
+    variance and must be excluded upstream).
+
+    ``energy_fn`` must be jax-traceable over the relative-displacement
+    vector (CHDriver/JaxDriver ``energy_fn`` contract); the grid is
+    evaluated in one vmapped batch.
+    """
+    v = np.asarray(direction, np.float64)
+    kt = U.KB * float(T)
+    ef = jax.jit(jax.vmap(lambda s: energy_fn(s * jnp.asarray(v))))
+
+    def rise(smax):
+        e = np.asarray(ef(jnp.asarray([-smax, 0.0, smax])))
+        return min(e[0] - e[1], e[2] - e[1])
+
+    smax = float(s0)
+    while rise(smax) < vmax_kt * kt:
+        smax *= 2.0
+        if smax > smax_cap:
+            raise ValueError(
+                f"direction unconfined: potential rises "
+                f"{rise(smax / 2) / kt:.2f} kT at |s|={smax / 2:g} "
+                f"(cap {smax_cap:g})")
+    # shrink back: the doubling can overshoot into wall regions where
+    # exp(-V/kT) underflows the quadrature's dynamic range
+    while smax > s0 and rise(smax / 2) > vmax_kt * kt:
+        smax /= 2.0
+    s = np.linspace(-smax, smax, int(npts))
+    V = np.asarray(ef(jnp.asarray(s)), np.float64)
+    V = V - V.min()
+    w = np.exp(-V / kt)
+    z = np.trapezoid(w, s)
+    if z <= 0 or not np.isfinite(z):
+        raise FloatingPointError("Boltzmann quadrature underflow")
+    return float(np.trapezoid(s * s * w, s) / z)
+
+
+def soft_mode_confinement(energy_fn, dyn, T, free=None, wcut=1e-2,
+                          progress=False, **line_kw):
+    """Rank-nsoft stabilizing stiffness: the SCP-confined reference.
+
+    Every mode of ``dyn`` (restricted to the ``free`` subspace) with
+    |w| < ``wcut`` — including NEGATIVE-curvature saddle directions —
+    gets the effective stiffness that makes its harmonic classical
+    variance equal its TRUE anharmonic 1-D Boltzmann variance:
+
+        w_eff^2 = kB T / <s^2>_1D,
+        dD_conf = sum_soft (w_eff^2 - w^2) v v^T        (PSD by
+                                                         construction
+                                                         when the well
+                                                         is tighter
+                                                         than harmonic)
+
+    D' = D + dD_conf is the physically-confined harmonic reference:
+    its equilibrium covariance is finite and matches the true thermal
+    spread along every soft direction, so (a) the SCP Hartree smearing
+    measure mode_covariance(D'_ff, T) is well-defined, and (b) the
+    warm-started periodic attractor of D' has sane amplitudes — the
+    perturbative response families' force jets stay in the physical
+    region (the UNconfined flagship attractor puts rms ~1e6 natural
+    units on the saddle modes, poisoning any Taylor jet of the real
+    potential there). The anharmonic estimators then measure the
+    remaining correction RELATIVE to D', and
+    kappa_exact(D') - kappa_exact(D) is a deterministic theory number
+    (ops.exact_gle), so nothing is approximated away.
+
+    Returns (dD_conf, info) with info per soft mode: (w_signed,
+    var_1d, w_eff).
+    """
+    dyn = np.asarray(dyn, np.float64)
+    nph = dyn.shape[0]
+    if free is None:
+        free = np.arange(nph)
+    free = np.asarray(free, int)
+    dff = dyn[np.ix_(free, free)]
+    w2, V = np.linalg.eigh(0.5 * (dff + dff.T))
+    kt = U.KB * float(T)
+    soft = np.abs(w2) < wcut ** 2
+    dD = np.zeros_like(dyn)
+    info = []
+    for i in np.where(soft)[0]:
+        v = np.zeros(nph)
+        v[free] = V[:, i]
+        var = line_variance_1d(energy_fn, v, T, **line_kw)
+        w_eff2 = kt / var
+        dD += (w_eff2 - w2[i]) * np.outer(v, v)
+        ws = float(np.sign(w2[i]) * np.sqrt(abs(w2[i])))
+        info.append((ws, var, float(np.sqrt(w_eff2))))
+        if progress:
+            print(f"  confine w={ws:+.3e} -> var={var:.3e} "
+                  f"w_eff={np.sqrt(w_eff2):.3e}", flush=True)
+    return dD, info
+
+
 def mode_covariance(dyn_ff, T, classical=False, zpmotion=True,
                     wmin=1e-4):
     """Per-mode displacement variance of the harmonic equilibrium

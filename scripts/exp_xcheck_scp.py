@@ -18,12 +18,24 @@ The reference's validation config is anharmonic MD vs harmonic NEGF
 bars; this replaces it with a deterministic quantum number whose only
 stochastic input is the probe average of a smooth local quantity.
 
+    python scripts/exp_xcheck_scp.py confine [--wcut W]
     python scripts/exp_xcheck_scp.py cov --nmd LOG2N [--classical]
     python scripts/exp_xcheck_scp.py probes [--classical] [--npairs N]
-        [--seed S] [--cov-nmd LOG2N]
+        [--seed S] [--attractor-cov LOG2N]
     python scripts/exp_xcheck_scp.py exact --which base|eff|effA|effB
         --nmd LOG2N [--classical]
     python scripts/exp_xcheck_scp.py report
+
+The probe measure: by default the equilibrium mode covariance of the
+CONFINED reference D' = D + dD_conf (``confine`` stage:
+ops.anharmonic.soft_mode_confinement — 29 junction modes with
+|w| < 10 meV, including ~8 with w^2 < 0, get the stiffness whose
+harmonic variance equals their exact 1-D Boltzmann variance in the
+true potential). The raw harmonic measures both fail on this system
+(measured): the continuum kT/w^2 diverges on the saddle modes, and
+the exact ATTRACTOR covariance of D inherits the divergence
+(tr ~ 2e13 at nmd=2^11 — the warm harmonic ensemble really does wander
+along directions only anharmonicity confines).
 """
 
 import os
@@ -128,18 +140,49 @@ def cov():
     print(f"  -> {cov_path(log2nmd, classical)}")
 
 
+def confine_path():
+    return os.path.join(HERE, "flagship_confine.npz")
+
+
+def confine():
+    """Stabilizing stiffness for the soft/saddle junction modes
+    (ops.anharmonic.soft_mode_confinement docstring)."""
+    _cpu()
+    import jax.numpy as jnp
+
+    from sclmd_tpu.models.hydrocarbon import CHDriver
+    from sclmd_tpu.ops.anharmonic import soft_mode_confinement
+    from sclmd_tpu.utils.junction import partition_by_axis
+
+    wcut = arg("--wcut", 1e-2, float)
+    negf, axyz = _flagship()
+    part = partition_by_axis(axyz)
+    dyn = np.asarray(negf["dyn_ev2"], np.float64)
+    free = np.setdiff1d(np.arange(3 * len(axyz)),
+                        np.asarray(part["fixdofs"]))
+    drv = CHDriver(axyz, dtype=jnp.float64)
+    t0 = time.time()
+    dD, info = soft_mode_confinement(drv.energy_jax, dyn, T, free=free,
+                                     wcut=wcut, progress=True)
+    w2p = np.linalg.eigvalsh((dyn + dD)[np.ix_(free, free)])
+    print(f"confined {len(info)} modes in {time.time() - t0:.0f} s; "
+          f"D' min w2 = {w2p.min():.3e}")
+    assert w2p.min() > 0
+    np.savez(confine_path(), dD=dD, info=np.array(info), wcut=wcut, T=T)
+    print(f"  -> {confine_path()}")
+
+
 def probes():
     _cpu()
     import jax.numpy as jnp
 
     from sclmd_tpu.models.hydrocarbon import CHDriver
-    from sclmd_tpu.ops.anharmonic import smeared_hessian
+    from sclmd_tpu.ops.anharmonic import mode_covariance, smeared_hessian
     from sclmd_tpu.utils.junction import partition_by_axis
 
     classical = "--classical" in sys.argv
     npairs = arg("--npairs", 64)
     seed = arg("--seed", 5)
-    cov_nmd = arg("--cov-nmd", 11)
 
     negf, axyz = _flagship()
     part = partition_by_axis(axyz)
@@ -148,10 +191,20 @@ def probes():
     free = np.setdiff1d(np.arange(nph), np.asarray(part["fixdofs"]))
     drv = CHDriver(axyz, dtype=jnp.float64)
 
-    # probe measure: the exact attractor covariance at this tier
-    # (cov stage) restricted to the free subspace
-    Cfull = np.load(cov_path(cov_nmd, classical))["C"]
-    cov_ff = Cfull[np.ix_(free, free)]
+    if "--attractor-cov" in sys.argv:
+        # legacy measure (diverges on the saddle modes — kept for the
+        # failure-mode record)
+        cov_nmd = arg("--attractor-cov", 11)
+        Cfull = np.load(cov_path(cov_nmd, classical))["C"]
+        cov_ff = Cfull[np.ix_(free, free)]
+        cov_tag = f"attractor@2^{cov_nmd}"
+    else:
+        dD_conf = np.load(confine_path())["dD"]
+        dp_ff = (np.asarray(dyn, np.float64)
+                 + dD_conf)[np.ix_(free, free)]
+        V, var, _ = mode_covariance(dp_ff, T, classical=classical)
+        cov_ff = (V * var) @ V.T
+        cov_tag = "equilibrium(D_conf)"
 
     t0 = time.time()
     res = smeared_hessian(drv.force_jax, nph, dyn, T, npairs=npairs,
@@ -163,14 +216,14 @@ def probes():
     half_spread = np.linalg.norm(a - b) / max(np.linalg.norm(res["dD"]),
                                               1e-300)
     print(f"SCP probes ({'classical' if classical else 'quantum'}): "
-          f"npairs={npairs} cov_nmd=2^{cov_nmd} ({wall:.0f} s)")
+          f"npairs={npairs} cov={cov_tag} ({wall:.0f} s)")
     print(f"  ||dD||/||D|| = {rel:.3e}, h0 gate {res['h0_gate']:.2e}, "
           f"A/B half spread {half_spread * 100:.1f}% of ||dD||, "
           f"|qbar|_max = {np.abs(res['qbar']).max():.3f}")
     np.savez(dd_path(classical), dD=res["dD"], dD_A=a, dD_B=b,
              qbar=res["qbar"], h0_gate=res["h0_gate"],
              var_modes=res["var_modes"], w_modes=res["w_modes"],
-             npairs=npairs, seed=seed, cov_nmd=cov_nmd,
+             npairs=npairs, seed=seed, cov=cov_tag,
              classical=classical, wall_s=wall)
     print(f"  -> {dd_path(classical)}")
 
@@ -195,7 +248,10 @@ def exact():
     negf, axyz = _flagship()
     part = partition_by_axis(axyz)
     dyn = np.asarray(negf["dyn_ev2"], np.float64)
-    if which != "base":
+    if which == "conf":
+        # the confined reference alone (confinement shift diagnostic)
+        dyn = dyn + np.load(confine_path())["dD"]
+    elif which != "base":
         dd = np.load(dd_path(classical))
         key = {"eff": "dD", "effA": "dD_A", "effB": "dD_B"}[which]
         dyn = dyn + dd[key]
@@ -302,5 +358,5 @@ def report():
 
 
 if __name__ == "__main__":
-    {"cov": cov, "probes": probes, "exact": exact,
+    {"confine": confine, "cov": cov, "probes": probes, "exact": exact,
      "report": report}[sys.argv[1]]()

@@ -12,9 +12,12 @@ first-order correction, so the two must agree within MC error.
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from scipy.special import gamma
 
 from sclmd_tpu import units as U
-from sclmd_tpu.ops.anharmonic import mode_covariance, smeared_hessian
+from sclmd_tpu.ops.anharmonic import (line_variance_1d, mode_covariance,
+                                      smeared_hessian,
+                                      soft_mode_confinement)
 from sclmd_tpu.ops.functions import bose
 
 
@@ -36,6 +39,79 @@ class TestModeCovariance:
         d = np.diag([0.0, 0.01])
         _, var, _ = mode_covariance(d, 300.0)
         assert var[0] == 0.0 and var[1] > 0.0
+
+
+class TestLineVariance:
+    T = 300.0
+
+    def test_harmonic_exact(self):
+        w2 = 0.01
+        var = line_variance_1d(lambda q: 0.5 * w2 * q[0] ** 2,
+                               np.array([1.0]), self.T)
+        assert var == pytest.approx(U.KB * self.T / w2, rel=1e-3)
+
+    def test_pure_quartic_closed_form(self):
+        c = 1e-4
+        var = line_variance_1d(lambda q: 0.25 * c * q[0] ** 4,
+                               np.array([1.0]), self.T)
+        exact = np.sqrt(4 * U.KB * self.T / c) * gamma(0.75) \
+            / gamma(0.25)
+        assert var == pytest.approx(exact, rel=1e-3)
+
+    def test_double_well_confines_saddle(self):
+        # negative curvature at 0 + quartic walls: the harmonic model
+        # calls this unstable; the Boltzmann variance is finite and
+        # ~ the well-minimum separation scale
+        w2, c = -0.004, 1e-4
+        var = line_variance_1d(
+            lambda q: 0.5 * w2 * q[0] ** 2 + 0.25 * c * q[0] ** 4,
+            np.array([1.0]), self.T)
+        smin2 = -w2 / c          # wells at s^2 = |w2|/c = 40
+        assert 0.5 * smin2 < var < 4 * smin2
+
+    def test_unconfined_raises(self):
+        with pytest.raises(ValueError, match="unconfined"):
+            line_variance_1d(lambda q: 0.0 * q[0], np.array([1.0]),
+                             self.T, smax_cap=64.0)
+
+
+class TestSoftModeConfinement:
+    T = 300.0
+
+    def test_saddle_mode_confined_stiff_untouched(self):
+        # 2-DOF: stiff mode (0.3 eV) + saddle direction (-3.6 meV,
+        # the flagship's worst case) with quartic confinement
+        w2s, w2u, c = 0.09, -(3.6e-3) ** 2, 1e-6
+        dyn = np.diag([w2s, w2u])
+
+        def energy(q):
+            return (0.5 * w2s * q[0] ** 2 + 0.5 * w2u * q[1] ** 2
+                    + 0.25 * c * q[1] ** 4)
+
+        dD, info = soft_mode_confinement(energy, dyn, self.T)
+        assert len(info) == 1            # only the saddle is soft
+        assert dD[0, 0] == 0.0 and dD[0, 1] == 0.0
+        lam = np.linalg.eigvalsh(dyn + dD)
+        assert lam.min() > 0             # confined reference stable
+        # harmonic variance of D' along the soft mode == 1-D Boltzmann
+        var_h = U.KB * self.T / (dyn + dD)[1, 1]
+        assert var_h == pytest.approx(info[0][1], rel=1e-6)
+        # and that variance is the true anharmonic one
+        ref = line_variance_1d(energy, np.array([0.0, 1.0]), self.T)
+        assert info[0][1] == pytest.approx(ref, rel=1e-6)
+
+    def test_free_subspace_embedding(self):
+        w2s, c = 0.09, 1e-6
+        dyn = np.diag([0.0, w2s, 0.0])   # DOF 0 fixed, DOF 2 soft
+
+        def energy(q):
+            return 0.5 * w2s * q[1] ** 2 + 0.25 * c * q[2] ** 4
+
+        dD, info = soft_mode_confinement(energy, dyn, self.T,
+                                         free=np.array([1, 2]))
+        assert len(info) == 1
+        assert np.all(dD[0, :] == 0) and np.all(dD[:, 0] == 0)
+        assert dD[2, 2] > 0
 
 
 class TestSmearedHessian1DOF:
