@@ -297,33 +297,45 @@ def report():
 
     print("=== SCP anharmonic quantum flagship conductance ===")
     tiers = []
-    for lg in (10, 11, 12, 13):
+    for lg in (10, 11, 12, 13, 14):
         jb, je = j_of("base", lg), j_of("eff", lg)
         if jb is None or je is None:
             continue
         tiers.append((lg, jb, je, (je - jb) / jb))
+        jc = j_of("conf", lg)
+        conf_s = (f"  [confinement alone {(jc - jb) / jb * 100:+.3f}%]"
+                  if jc is not None else "")
         print(f"  nmd=2^{lg}: kappa(D)={jb:.6e}  kappa(D_eff)={je:.6e}"
-              f"  delta {(je - jb) / jb * 100:+.3f}%")
+              f"  delta {(je - jb) / jb * 100:+.3f}%{conf_s}")
     if not tiers:
         print("  (no exact eval pairs found)")
         return
     lg, jb, je, dk = tiers[-1]          # finest tier
-    # probe-SEM: the same observable through the A/B half dD's
-    ja, jb2 = j_of("effA", 10), j_of("effB", 10)
-    jbase10 = j_of("base", 10)
+    # probe-SEM: the same observable through the A/B half dD's, at the
+    # FINEST tier where both halves exist. Coarse tiers are useless
+    # for this: at nmd=2^10 the comb is starved (junction linewidth <<
+    # line spacing) and J(D + dD) is chaotic in dD — measured
+    # delta_A/delta_B = +1.08%/-3.52% around delta = +1.90%, pure grid
+    # chaos, not probe noise.
     sem = None
-    if ja is not None and jb2 is not None and jbase10 is not None:
-        da, db = (ja - jbase10) / jbase10, (jb2 - jbase10) / jbase10
+    for lgh in (14, 13, 12, 11, 10):
+        ja, jb2 = j_of("effA", lgh), j_of("effB", lgh)
+        jbase_h = j_of("base", lgh)
+        if ja is None or jb2 is None or jbase_h is None:
+            continue
+        da, db = (ja - jbase_h) / jbase_h, (jb2 - jbase_h) / jbase_h
         # halves use npairs/2 each: SEM(mean) = |dA-dB|/2
         sem = abs(da - db) / 2
-        print(f"  probe halves @2^10: delta_A {da * 100:+.3f}% "
+        print(f"  probe halves @2^{lgh}: delta_A {da * 100:+.3f}% "
               f"delta_B {db * 100:+.3f}% -> probe-SEM "
               f"{sem * 100:.3f}%")
+        break
     if len(tiers) > 1:
         spread = max(t[3] for t in tiers) - min(t[3] for t in tiers)
         print(f"  grid spread of delta across tiers: "
-              f"{spread * 100:.3f}% (comb bias cancels in the "
-              f"difference)")
+              f"{spread * 100:.3f}% (coarse tiers are comb-starved — "
+              f"see probe-halves note; only the finest tier is "
+              f"quotable)")
         out["grid_spread_pct"] = spread * 100
 
     # headline: finest cached base kappa + the grid-converged delta
