@@ -349,13 +349,25 @@ def report():
     print(f"  vs continuum Landauer {float(negf['kappa_nw_per_k']):.5f}"
           f" nW/K: {(j_anh - j_ref) / j_ref * 100:+.2f}%")
 
-    # classical consistency vs the direct MD measurement (PERF.md)
-    jcb, jce = j_of("base", 10, True), j_of("eff", 10, True)
-    if jcb is not None and jce is not None:
+    # classical consistency vs the direct MD measurement (PERF.md).
+    # Quote only at fine tiers: the classical occupation ~kT/w piles
+    # conductance weight on the softest modes, exactly where the
+    # coarse comb is chaotic under dD (measured -20% at 2^10 — a grid
+    # artifact, not physics; the quantum delta at the same tier moves
+    # 0.3% between 2^10 and 2^11).
+    for lgc in (14, 13, 12, 11, 10):
+        jcb, jce = j_of("base", lgc, True), j_of("eff", lgc, True)
+        if jcb is None or jce is None:
+            continue
         dcl = (jce - jcb) / jcb
-        print(f"  classical SCP delta @2^10: {dcl * 100:+.3f}% "
-              f"(direct classical MD measured +0.5% +- ~3%, PERF.md)")
-        out["delta_classical_pct"] = dcl * 100
+        chaos = " [comb-starved tier: grid artifact, do not quote]" \
+            if lgc < 13 else ""
+        print(f"  classical SCP delta @2^{lgc}: {dcl * 100:+.3f}% "
+              f"(direct classical MD measured +0.5% +- ~3%, "
+              f"PERF.md){chaos}")
+        if not chaos:
+            out["delta_classical_pct"] = dcl * 100
+        break
 
     out.update({
         "delta_quantum_pct": dk * 100,
