@@ -589,6 +589,19 @@ def crosscheck(jax, jnp):
             j_base = float(np.load(base_fn)["j_nat"])
             out["anh_confinement_shift_pct"] = round(
                 (j_exact - j_base) / j_ref * 100, 3)
+        scp_fn = os.path.join(os.path.dirname(NEGF_CACHE),
+                              "flagship_scp_summary.npz")
+        if os.path.exists(scp_fn):
+            # independent static (SCP Hartree) theory estimate of the
+            # same correction — CPU campaign artifact
+            # (scripts/exp_xcheck_scp.py report)
+            scp = np.load(scp_fn)
+            out["anh_scp_static_delta_pct"] = round(
+                float(scp["delta_quantum_pct"]), 3)
+            out["anh_scp_probe_sem_pct"] = round(
+                float(scp["probe_sem_pct"]), 3)
+            out["anh_scp_base_tier_log2"] = int(
+                scp["base_tier_log2"])
     except Exception as e:       # noqa: BLE001 — keep the harmonic
         out["anh_error"] = repr(e)   # headline alive
     return out
