@@ -284,6 +284,62 @@ def exact():
              which=which, classical=classical)
 
 
+def negf_path(which, classical=False):
+    return os.path.join(
+        HERE, f"flagship_negf_scp_{which}"
+              f"{'_cl' if classical else ''}.npz")
+
+
+def negf():
+    """Continuum Landauer conductance of a renormalized matrix via the
+    dense bpt transmission sweep (same 4001-point grid as the
+    committed reference cache flagship_negf.npz).
+
+    This is the QUOTABLE representation for the static SCP delta: the
+    finite-comb attractor current of narrow soft resonances depends on
+    where the lines land (measured: the confinement shift reads
+    +0.021% at nmd=2^10 but +4.81% at 2^14 — the coarse comb never
+    excites the soft channels, the fine comb samples them
+    erratically), while the transmission INTEGRAL weighs every channel
+    by its true width on both sides of the difference."""
+    _cpu()
+    from sclmd_tpu import units as U
+    from sclmd_tpu.negf import bpt, landauer_current_natural
+    from sclmd_tpu.utils.junction import partition_by_axis
+
+    which = arg("--which", "eff", str)
+    classical = "--classical" in sys.argv
+    negf_ref, axyz = _flagship()
+    part = partition_by_axis(axyz)
+    dyn = np.asarray(negf_ref["dyn_ev2"], np.float64)
+    if which == "conf":
+        dyn = dyn + np.load(confine_path())["dD"]
+    elif which != "base":
+        dd = np.load(dd_path(classical))
+        dyn = dyn + dd[{"eff": "dD", "effA": "dD_A",
+                        "effB": "dD_B"}[which]]
+    fixdofs = part["fixdofs"]
+    atomfixed = [fixdofs[:len(fixdofs) // 2],
+                 fixdofs[len(fixdofs) // 2:]]
+    t0 = time.time()
+    mybpt = bpt(dyn / U.RPC ** 2, 0.45, 0.1,
+                [part["ecatsl"], part["ecatsr"]], atomfixed, num=4000)
+    mybpt.gettm()
+    ws_ev = mybpt.tmnumber[:, 0] * U.RPC
+    tm = mybpt.tmnumber[:, 1]
+    TL, TR = T * (1 + DELTA / 2), T * (1 - DELTA / 2)
+    j_nat = float(landauer_current_natural(ws_ev, tm, TL, TR))
+    wall = time.time() - t0
+    print(f"negf[{which}{' cl' if classical else ''}]: J={j_nat:.6e} "
+          f"kappa={j_nat / (T * DELTA) * U.CURCOF:.5f} nW/K "
+          f"({wall:.0f} s)")
+    np.savez(negf_path(which, classical), ws_ev=ws_ev, tm=tm,
+             j_nat=j_nat,
+             kappa_nw_per_k=j_nat / (T * DELTA) * U.CURCOF,
+             which=which, classical=classical, wall_s=wall)
+    print(f"  -> {negf_path(which, classical)}")
+
+
 def report():
     from sclmd_tpu import units as U
 
@@ -334,20 +390,46 @@ def report():
         spread = max(t[3] for t in tiers) - min(t[3] for t in tiers)
         print(f"  grid spread of delta across tiers: "
               f"{spread * 100:.3f}% (coarse tiers are comb-starved — "
-              f"see probe-halves note; only the finest tier is "
-              f"quotable)")
+              f"see probe-halves note)")
         out["grid_spread_pct"] = spread * 100
 
-    # headline: finest cached base kappa + the grid-converged delta
+    # ---- CONTINUUM Landauer representation (the quotable one) ----
+    # finite combs sample the narrow soft channels erratically (conf
+    # shift: +0.021% @2^10 vs +4.81% @2^14); the dense transmission
+    # integral weighs every channel by its true width.
+    def l_of(which):
+        p = negf_path(which)
+        return float(np.load(p)["j_nat"]) if os.path.exists(p) \
+            else None
+    le, lc = l_of("eff"), l_of("conf")
+    representation = "comb"
+    if le is not None:
+        dk = (le - j_ref) / j_ref
+        representation = "continuum"
+        print(f"  continuum Landauer: L(D_eff) delta {dk * 100:+.3f}%"
+              + (f"  [confinement alone "
+                 f"{(lc - j_ref) / j_ref * 100:+.3f}%]"
+                 if lc is not None else ""))
+        la, lb = l_of("effA"), l_of("effB")
+        if la is not None and lb is not None:
+            sem = abs(la - lb) / 2 / j_ref
+            print(f"  continuum probe halves: delta_A "
+                  f"{(la - j_ref) / j_ref * 100:+.3f}% delta_B "
+                  f"{(lb - j_ref) / j_ref * 100:+.3f}% -> probe-SEM "
+                  f"{sem * 100:.3f}%")
+
+    # headline: finest cached base kappa + the quotable delta
     base14 = os.path.join(HERE, "flagship_exact_nmd16384.npz")
     j14 = float(np.load(base14)["j_nat"]) if os.path.exists(base14) \
         else jb
     j_anh = j14 * (1 + dk)
     kappa = j_anh / (T * DELTA) * U.CURCOF
     print(f"  kappa_anh(quantum) = {kappa:.5f} nW/K "
-          f"(= exact@2^14 x (1 {dk * 100:+.3f}%))")
+          f"(= exact@2^14 x (1 {dk * 100:+.3f}%), "
+          f"{representation} delta)")
     print(f"  vs continuum Landauer {float(negf['kappa_nw_per_k']):.5f}"
           f" nW/K: {(j_anh - j_ref) / j_ref * 100:+.2f}%")
+    out["representation"] = representation
 
     # classical consistency vs the direct MD measurement (PERF.md).
     # Quote only at fine tiers: the classical occupation ~kT/w piles
