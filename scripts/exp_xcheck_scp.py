@@ -465,4 +465,4 @@ def report():
 
 if __name__ == "__main__":
     {"confine": confine, "cov": cov, "probes": probes, "exact": exact,
-     "report": report}[sys.argv[1]]()
+     "negf": negf, "report": report}[sys.argv[1]]()
