@@ -432,12 +432,24 @@ def report():
     out["representation"] = representation
 
     # classical consistency vs the direct MD measurement (PERF.md).
-    # Quote only at fine tiers: the classical occupation ~kT/w piles
-    # conductance weight on the softest modes, exactly where the
+    # Continuum representation preferred: classical Landauer is the
+    # plain transmission integral, so the sweep caches give it
+    # directly.
+    pcl = negf_path("eff", classical=True)
+    if os.path.exists(pcl):
+        tm_e = np.load(pcl)
+        i_eff = float(np.trapezoid(tm_e["tm"], tm_e["ws_ev"]))
+        i_base = float(np.trapezoid(negf["tm"], negf["ws_ev"]))
+        dcl = (i_eff - i_base) / i_base
+        print(f"  classical SCP delta (continuum): {dcl * 100:+.3f}% "
+              f"(direct classical MD measured +0.5% +- ~3%, PERF.md)")
+        out["delta_classical_pct"] = dcl * 100
+    # Comb tiers only at fine grids: the classical occupation ~kT/w
+    # piles conductance weight on the softest modes, exactly where the
     # coarse comb is chaotic under dD (measured -20% at 2^10 — a grid
     # artifact, not physics; the quantum delta at the same tier moves
     # 0.3% between 2^10 and 2^11).
-    for lgc in (14, 13, 12, 11, 10):
+    for lgc in () if os.path.exists(pcl) else (14, 13, 12, 11, 10):
         jcb, jce = j_of("base", lgc, True), j_of("eff", lgc, True)
         if jcb is None or jce is None:
             continue
