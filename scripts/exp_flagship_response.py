@@ -1,0 +1,122 @@
+"""Flagship perturbative anharmonic response — compute ONCE, cache for
+the bench (VERDICT r4 items 1-2).
+
+Runs parallel.ensemble.perturbative_anharmonic_response (order-2 jvp
+along the confined-reference attractor D' = D + dD_conf) on the
+201-atom structure.data junction and caches the per-trajectory (j0,
+d1, d2) arrays in scripts/flagship_response.npz, which
+bench.crosscheck_anh reads like the other committed artifacts.
+
+Round 4 ran this live inside the bench, unchunked (32 trajectories x
+nmd=2^14 with third-order CHDriver force jets in one batch): the TPU
+worker crashed ("UNAVAILABLE: TPU worker process crashed or
+restarted") and wedged the whole bench into the driver timeout. The
+estimator has a ``chunk`` parameter for exactly this; default here is
+4 trajectories per batch.
+
+    python scripts/exp_flagship_response.py [--chunk 4] [--ntraj 32]
+        [--nmd LOG2N=14] [--cpu]
+
+Reference analog: anharmonic REBO MD (ref examples/runmd.py:27) vs
+harmonic NEGF (ref examples/runnegf.py:17-28) — no error bars there;
+this gives the correction with jvp-tight statistics.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+NEGF_CACHE = os.path.join(HERE, "flagship_negf.npz")
+OUT = os.path.join(HERE, "flagship_response.npz")
+
+T, DELTA = 300.0, 0.1
+DT = 0.25 / 0.658
+DAMP_NAT = 100 / 0.658211814201041
+
+
+def arg(name, default, cast=int):
+    return cast(sys.argv[sys.argv.index(name) + 1]) \
+        if name in sys.argv else default
+
+
+def run_and_cache(chunk=4, ntraj=32, log2nmd=14, seed=11, out=OUT):
+    import jax.numpy as jnp
+
+    from sclmd_tpu import baths as B
+    from sclmd_tpu import units as U
+    from sclmd_tpu.md import md as MDRunner
+    from sclmd_tpu.models.hydrocarbon import CHDriver
+    from sclmd_tpu.parallel.ensemble import (
+        perturbative_anharmonic_response)
+    from sclmd_tpu.utils.junction import partition_by_axis
+
+    import tempfile
+
+    nmd = 2 ** log2nmd
+    negf = np.load(NEGF_CACHE)
+    axyz = [[str(e)] + list(map(float, p))
+            for e, p in zip(negf["els"], negf["pos"])]
+    part = partition_by_axis(axyz)
+    dyn_conf = (np.asarray(negf["dyn_ev2"], np.float64)
+                + np.load(os.path.join(HERE, "flagship_confine.npz"))["dD"])
+    drv = CHDriver(axyz, dtype=jnp.float32)
+    TL, TR = T * (1 + DELTA / 2), T * (1 - DELTA / 2)
+
+    def build_c(Ta, Tb):
+        runner = MDRunner(DT, nmd, T, axyz=axyz, dyn=dyn_conf,
+                          dtype=jnp.float32, seed=seed,
+                          outdir=tempfile.mkdtemp(prefix="resp_"))
+        for cats, tt in ((part["ecatsl"], Ta), (part["ecatsr"], Tb)):
+            eta = (1.0 / DAMP_NAT) * np.identity(len(cats))
+            runner.AddBath(B.ebath(cats, tt, runner.dt, runner.nmd,
+                                   wmax=1.0, nw=500, efric=eta))
+        runner.AddConstr([part["fixdofs"]])
+        return runner
+
+    def build_anh(Ta, Tb):
+        r = build_c(Ta, Tb)
+        r.AddPotential(drv)
+        return r
+
+    t0 = time.time()
+    j0, d1, d2 = perturbative_anharmonic_response(
+        build_c, build_anh, TL, TR, ntraj, nsteps=nmd, seed=seed,
+        chunk=chunk)
+    wall = time.time() - t0
+
+    j_ref = float(negf["j_nat"])
+    exact_fn = os.path.join(HERE, f"flagship_exact_conf_nmd{nmd}.npz")
+    j_exact = (float(np.load(exact_fn)["j_nat"])
+               if os.path.exists(exact_fn) else j_ref)
+    rn = np.sqrt(ntraj)
+    corr = float(d1.mean() + d2.mean() / 2)
+    csem = float(np.hypot(d1.std(), d2.std() / 2) / rn)
+    print(f"response ntraj={ntraj} nmd=2^{log2nmd} chunk={chunk} "
+          f"({wall:.0f} s):")
+    print(f"  j0 gate dev {(float(j0.mean()) - j_exact) / j_ref * 100:+.3f}% "
+          f"vs {'exact(conf)' if j_exact != j_ref else 'Landauer'}")
+    print(f"  d1 {float(d1.mean()) / j_ref * 100:+.3f}% "
+          f"(SEM {float(d1.std()) / rn / j_ref * 100:.3f}%), "
+          f"d2/2 {float(d2.mean()) / 2 / j_ref * 100:+.3f}% "
+          f"(SEM {float(d2.std()) / 2 / rn / j_ref * 100:.3f}%)")
+    print(f"  correction {corr / j_ref * 100:+.3f}% "
+          f"(SEM {csem / j_ref * 100:.3f}%), kappa_anh = "
+          f"{(j_exact + corr) / (T * DELTA) * U.CURCOF:.5f} nW/K")
+    np.savez(out, j0=j0, d1=d1, d2=d2, ntraj=ntraj, nmd=nmd,
+             chunk=chunk, seed=seed, wall_s=wall)
+    print(f"  -> {out}")
+    return j0, d1, d2
+
+
+if __name__ == "__main__":
+    if "--cpu" in sys.argv:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    run_and_cache(chunk=arg("--chunk", 4), ntraj=arg("--ntraj", 32),
+                  log2nmd=arg("--nmd", 14), seed=arg("--seed", 11))
