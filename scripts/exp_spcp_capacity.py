@@ -26,6 +26,14 @@ Wall times are recorded but indicative only — the 8 virtual CPU
 expected host-side; on real ICI each dp shard owns a physical chip.
 
 Run:  python scripts/exp_spcp_capacity.py  (self-reexecs per ndp)
+      python scripts/exp_spcp_capacity.py --big
+        larger-load anchor (VERDICT r4 weak #7): 256 trajectories per
+        device at nmd=2^14 on ndp=4/8 — the tier where the one-device
+        full noise batch (3 GB) stops being materialisable next to
+        state+history on a real chip while the windowed residency
+        stays at 6 MB/device, and the per-device load matches the
+        "thousands of trajectories per chip" PERF.md projection within
+        one order of magnitude instead of three.
 """
 
 import json
@@ -45,7 +53,7 @@ NPH, NC, ML = 96, 12, 16
 NMD, WINDOW, NSTEPS = 4096, 256, 1024
 
 
-def child(ndp: int):
+def child(ndp: int, ltraj: int = LTRAJ, nmd: int = NMD):
     import jax
     jax.config.update("jax_platforms", "cpu")
     sys.path.insert(0, REPO)
@@ -53,9 +61,9 @@ def child(ndp: int):
     from sclmd_tpu.parallel.ensemble import (ensemble_states, make_mesh,
                                              sharded_synthesis_run)
 
-    sysf, _ = g._build(nph=NPH, nmd=NMD, ml=ML, with_factors=True)
+    sysf, _ = g._build(nph=NPH, nmd=nmd, ml=ML, with_factors=True)
     mesh = make_mesh({"dp": ndp})
-    ntraj = LTRAJ * ndp
+    ntraj = ltraj * ndp
     st0 = ensemble_states(sysf, ntraj)
     t0 = time.time()
     fin, csum, probe = sharded_synthesis_run(
@@ -65,19 +73,19 @@ def child(ndp: int):
     wall = time.time() - t0
     assert np.isfinite(np.asarray(csum)).all()
 
-    # capacity law: every dp shard holds exactly LTRAJ trajectories
+    # capacity law: every dp shard holds exactly ltraj trajectories
     per_shard = set()
     for arr in probe:
         per_shard |= {s.data.shape[0] for s in arr.addressable_shards}
-    assert per_shard == {LTRAJ}, (per_shard, LTRAJ)
+    assert per_shard == {ltraj}, (per_shard, ltraj)
 
     item = np.dtype(np.asarray(fin.p).dtype).itemsize
     ncs = [b.nc for b in sysf.baths]
-    resident = sum(LTRAJ * (WINDOW + 1) * nc * item for nc in ncs)
-    full_one_dev = sum(ntraj * NMD * nc * item for nc in ncs)
+    resident = sum(ltraj * (WINDOW + 1) * nc * item for nc in ncs)
+    full_one_dev = sum(ntraj * nmd * nc * item for nc in ncs)
     print("CHILD_JSON:" + json.dumps({
         "ndp": ndp, "ntraj": ntraj,
-        "per_shard_traj": LTRAJ,
+        "per_shard_traj": ltraj,
         "resident_noise_mb_per_device": round(resident / 2 ** 20, 3),
         "full_batch_noise_mb_one_device": round(full_one_dev / 2 ** 20,
                                                 3),
@@ -86,10 +94,15 @@ def child(ndp: int):
     }))
 
 
-def main():
+def main(big: bool = False):
+    # --big: the load-bearing anchor point for the PERF.md ICI
+    # projection — 256 trajectories/device at nmd=2^14 (the flagship
+    # noise length), where the one-device full batch is ~3 GB
+    points = [(4, 256, 16384), (8, 256, 16384)] if big else \
+        [(ndp, LTRAJ, NMD) for ndp in (1, 2, 4, 8)]
     rows = []
     base = None
-    for ndp in (1, 2, 4, 8):
+    for ndp, ltraj, nmd in points:
         env = dict(os.environ)
         flags = re.sub(r"--xla_force_host_platform_device_count=\d+",
                        "", env.get("XLA_FLAGS", ""))
@@ -99,8 +112,8 @@ def main():
         env.pop("JAX_PLATFORMS", None)
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child",
-             str(ndp)],
-            capture_output=True, text=True, timeout=1800, env=env,
+             str(ndp), str(ltraj), str(nmd)],
+            capture_output=True, text=True, timeout=3600, env=env,
             cwd=REPO)
         out = None
         for line in r.stdout.splitlines():
@@ -112,13 +125,14 @@ def main():
         if base is None:
             base = csum
         else:
-            # trajectory-keyed noise: the first LTRAJ trajectories of a
-            # wider mesh ARE the dp=1 ensemble, bitwise
-            np.testing.assert_array_equal(csum[:LTRAJ], base)
+            # trajectory-keyed noise: the first trajectories of a
+            # wider mesh ARE the narrower ensemble, bitwise
+            np.testing.assert_array_equal(csum[:len(base)], base)
         rows.append(out)
 
-    print("\nSP/CP weak scaling (virtual CPU mesh; "
-          f"ltraj={LTRAJ}/device, nmd={NMD}, window={WINDOW}):")
+    ltraj, nmd = points[0][1], points[0][2]
+    print(f"\nSP/CP weak scaling (virtual CPU mesh; "
+          f"ltraj={ltraj}/device, nmd={nmd}, window={WINDOW}):")
     print(f"{'ndp':>4} {'ntraj':>6} {'resident MB/dev':>16} "
           f"{'full-batch MB (1 dev)':>22} {'wall s':>8}")
     for o in rows:
@@ -129,12 +143,12 @@ def main():
     res = {o["resident_noise_mb_per_device"] for o in rows}
     assert len(res) == 1, f"per-device residency not constant: {res}"
     print("\ncapacity law holds: constant resident bytes/device, "
-          "total trajectories ∝ ndp, dp=1 currents reproduced bitwise "
-          "inside every wider mesh")
+          "total trajectories ∝ ndp, narrower-mesh currents reproduced "
+          "bitwise inside every wider mesh")
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--child":
-        child(int(sys.argv[2]))
+        child(int(sys.argv[2]), *map(int, sys.argv[3:5]))
     else:
-        main()
+        main(big="--big" in sys.argv)
