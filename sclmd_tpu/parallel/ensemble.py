@@ -287,7 +287,8 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
                                      block: Optional[int] = None,
                                      pair=(0, 1),
                                      chunk: Optional[int] = None,
-                                     family: str = "taylor"):
+                                     family: str = "taylor",
+                                     fd2: float = 0.0):
     """Quantum anharmonic conductance correction by PERTURBATIVE
     RESPONSE along the harmonic attractor — the estimator that survives
     chaos.
@@ -352,6 +353,22 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
       harmonic excursions of soft flexural modes extrapolate into the
       Morse/Tersoff exponential walls); kept for small-perturbation
       validation and as the documented failure mode.
+
+    ``fd2 > 0`` replaces every NESTED (second-order) jvp by a one-sided
+    finite difference of the first-order jvp at lam = 0 and lam = fd2:
+    d2 ~= (d1(fd2) - d1(0)) / fd2, and likewise for the attractor's
+    psi''(0). The single-tangent jvp-through-scan program is the one
+    proven to execute on the axon TPU tunnel (the nested jvp-of-jvp
+    program crashes the TPU worker on the 201-atom flagship at
+    nmd=2^14 — r4/r5 measured, any chunk size); both lam points reuse
+    ONE compiled executable (lam enters as the traced ``force_params``
+    leaf), so total scan work is unchanged (~11 scan-units/chunk either
+    way). One-sided (+fd2) because negative lam flips the cubic force
+    (same instability class as the SCP dD derivative). The truncation
+    bias is O(fd2^2), not O(fd2) — the taylor family's odd
+    lam-derivatives vanish by Gaussian parity — measured 3% of
+    max|d2| at fd2=0.05, 0.7% at 0.025 on the quartic chain, pinned
+    against the nested-jvp path in tests/test_exact_gle.py.
 
     Same build contract as ``harmonic_twin_delta``. Returns (j0, d1,
     d2) arrays of shape (ntraj,), all antithetic-paired over (TL,TR)/
@@ -466,13 +483,22 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
                                        nsteps, power=AP)
             dst1 = state_unravel(x1p, sys_h, dtype=dt_r)
             # x*'' from psi(lam) = Phi(x*_0 + lam x*', lam)
-            _, (_, t2) = jax.jvp(
-                lambda l: jax.jvp(
-                    lambda m: period_final(m, dst1, zst), (l,),
-                    (1.0,)),
-                (0.0,), (1.0,))
-            x2p = periodic_fixed_point(A, np.asarray(t2, np.float64),
-                                       nsteps, power=AP)
+            if fd2:
+                def psi1(lam):
+                    _, t = jax.jvp(
+                        lambda m: period_final(m, dst1, zst),
+                        (lam,), (1.0,))
+                    return np.asarray(t, np.float64)
+
+                t2 = (psi1(float(fd2)) - psi1(0.0)) / float(fd2)
+            else:
+                _, (_, t2) = jax.jvp(
+                    lambda l: jax.jvp(
+                        lambda m: period_final(m, dst1, zst), (l,),
+                        (1.0,)),
+                    (0.0,), (1.0,))
+                t2 = np.asarray(t2, np.float64)
+            x2p = periodic_fixed_point(A, t2, nsteps, power=AP)
             dst2 = state_unravel(x2p, sys_h, dtype=dt_r)
 
             def run_lam(lam):
@@ -484,11 +510,20 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
                     / (nsteps - skip)
                 return (s[:, pair[0]] - s[:, pair[1]]) / 2
 
-            # one nested forward-over-forward pass: primal (j0, d1),
-            # tangent (d1, d2)
-            (j0, d1a), (_, d2) = jax.jvp(
-                lambda l: jax.jvp(run_lam, (l,), (1.0,)), (0.0,),
-                (1.0,))
+            if fd2:
+                # two single-tangent passes; d2 by one-sided FD of the
+                # jvp-exact d1 (same noise keys at both lam points, so
+                # the stochastic part cancels in the difference)
+                j0, d1a = jax.jvp(run_lam, (0.0,), (1.0,))
+                _, d1s = jax.jvp(run_lam, (float(fd2),), (1.0,))
+                d2 = (np.asarray(d1s, np.float64)
+                      - np.asarray(d1a, np.float64)) / float(fd2)
+            else:
+                # one nested forward-over-forward pass: primal
+                # (j0, d1), tangent (d1, d2)
+                (j0, d1a), (_, d2) = jax.jvp(
+                    lambda l: jax.jvp(run_lam, (l,), (1.0,)), (0.0,),
+                    (1.0,))
             for dst, val in zip(out, (j0, d1a, d2)):
                 arr = np.asarray(val)
                 if not np.isfinite(arr).all():

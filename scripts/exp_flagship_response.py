@@ -15,7 +15,17 @@ estimator has a ``chunk`` parameter for exactly this; default here is
 4 trajectories per batch.
 
     python scripts/exp_flagship_response.py [--chunk 4] [--ntraj 32]
-        [--nmd LOG2N=14] [--cpu]
+        [--nmd LOG2N=14] [--fd2 S] [--cpu]
+
+Round-5 finding: chunking does NOT fix the crash — the nested
+(second-order) jvp program itself kills the worker even at chunk=4,
+while the single-tangent jvp through the same scan executes fine
+(its device->host transfer succeeded immediately before the nested
+program's crash). ``--fd2 S`` switches all second-order pieces to a
+one-sided finite difference of the first-order jvp (see
+perturbative_anharmonic_response docstring); the FD bias is pinned
+against the nested path on the quartic chain in
+tests/test_exact_gle.py::TestSCPRenormalization.
 
 Reference analog: anharmonic REBO MD (ref examples/runmd.py:27) vs
 harmonic NEGF (ref examples/runnegf.py:17-28) — no error bars there;
@@ -44,7 +54,8 @@ def arg(name, default, cast=int):
         if name in sys.argv else default
 
 
-def run_and_cache(chunk=4, ntraj=32, log2nmd=14, seed=11, out=OUT):
+def run_and_cache(chunk=4, ntraj=32, log2nmd=14, seed=11, out=OUT,
+                  fd2=0.0):
     import jax.numpy as jnp
 
     from sclmd_tpu import baths as B
@@ -86,7 +97,7 @@ def run_and_cache(chunk=4, ntraj=32, log2nmd=14, seed=11, out=OUT):
     t0 = time.time()
     j0, d1, d2 = perturbative_anharmonic_response(
         build_c, build_anh, TL, TR, ntraj, nsteps=nmd, seed=seed,
-        chunk=chunk)
+        chunk=chunk, fd2=fd2)
     wall = time.time() - t0
 
     j_ref = float(negf["j_nat"])
@@ -97,7 +108,7 @@ def run_and_cache(chunk=4, ntraj=32, log2nmd=14, seed=11, out=OUT):
     corr = float(d1.mean() + d2.mean() / 2)
     csem = float(np.hypot(d1.std(), d2.std() / 2) / rn)
     print(f"response ntraj={ntraj} nmd=2^{log2nmd} chunk={chunk} "
-          f"({wall:.0f} s):")
+          f"fd2={fd2} ({wall:.0f} s):")
     print(f"  j0 gate dev {(float(j0.mean()) - j_exact) / j_ref * 100:+.3f}% "
           f"vs {'exact(conf)' if j_exact != j_ref else 'Landauer'}")
     print(f"  d1 {float(d1.mean()) / j_ref * 100:+.3f}% "
@@ -108,7 +119,7 @@ def run_and_cache(chunk=4, ntraj=32, log2nmd=14, seed=11, out=OUT):
           f"(SEM {csem / j_ref * 100:.3f}%), kappa_anh = "
           f"{(j_exact + corr) / (T * DELTA) * U.CURCOF:.5f} nW/K")
     np.savez(out, j0=j0, d1=d1, d2=d2, ntraj=ntraj, nmd=nmd,
-             chunk=chunk, seed=seed, wall_s=wall)
+             chunk=chunk, seed=seed, wall_s=wall, fd2=fd2)
     print(f"  -> {out}")
     return j0, d1, d2
 
@@ -119,4 +130,5 @@ if __name__ == "__main__":
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
     run_and_cache(chunk=arg("--chunk", 4), ntraj=arg("--ntraj", 32),
-                  log2nmd=arg("--nmd", 14), seed=arg("--seed", 11))
+                  log2nmd=arg("--nmd", 14), seed=arg("--seed", 11),
+                  fd2=arg("--fd2", 0.0, float))
