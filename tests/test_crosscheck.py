@@ -499,11 +499,17 @@ def test_equilibrium_power_spectrum_matches_negf(key):
 
 
 @pytest.mark.statistical
+@pytest.mark.slow
 def test_usek_quantum_conductance_antithetic():
     """Quantum-statistics version of the UseK crosscheck — re-based on
     the exact discrete attractor theory and held to 2% (VERDICT r3
     item 2; r2 held 4% vs continuum Landauer at a dt/2 tier). The
     quantum PSD (zero-point + Bose occupation) feeds both the MD noise
     synthesis and the theory's per-line covariance, so the comparison
-    pins the quantum noise conventions end-to-end."""
+    pins the quantum noise conventions end-to-end.
+
+    slow tier (r5): 125 s — the heaviest fast-tier test, and its two
+    legs are each pinned cheaper elsewhere (UseK bath mode: the
+    classical twin below; quantum noise conventions:
+    test_conductance_within_2pct_of_negf)."""
     _usek_rebased(classical=False, seed=5)

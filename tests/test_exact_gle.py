@@ -576,7 +576,12 @@ class TestPerturbativeFamilies:
     d2_taylor / 2 == d1_force; and d1_taylor is a Gaussian-parity null
     (odd moments of the harmonic ensemble vanish)."""
 
+    @pytest.mark.slow
     def test_taylor_family_consistency_on_quartic_chain(self):
+        # slow tier (r5, 58 s): redundant consistency between the two
+        # interpolation families; the production taylor path stays
+        # fast-pinned by test_scp_equals_response_on_quartic_chain and
+        # test_fd2_matches_nested_jvp_on_quartic_chain.
         import tempfile
         from types import SimpleNamespace
 

@@ -87,8 +87,13 @@ class TestDescriptor:
 
 
 class TestTraining:
+    @pytest.mark.slow
     def test_learns_morse_dimer_chain(self, rng):
-        """NNP fits Morse-chain energies+forces to reasonable accuracy."""
+        """NNP fits Morse-chain energies+forces to reasonable accuracy.
+
+        slow tier (r5, 59 s): training-convergence test; the NNP
+        forward/derivative paths stay fast-pinned by TestDescriptor and
+        TestDriverIntegration."""
         na, a = 6, 1.6
         x0 = _structure(na, a)
         pairs = ([i for i in range(na - 1)], [i + 1 for i in range(na - 1)])
