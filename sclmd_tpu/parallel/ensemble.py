@@ -288,7 +288,8 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
                                      pair=(0, 1),
                                      chunk: Optional[int] = None,
                                      family: str = "taylor",
-                                     fd2: float = 0.0):
+                                     fd2: float = 0.0,
+                                     debug: bool = False):
     """Quantum anharmonic conductance correction by PERTURBATIVE
     RESPONSE along the harmonic attractor — the estimator that survives
     chaos.
@@ -399,6 +400,19 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
         block_eff = None
     chunk = int(chunk) if chunk else ntraj
 
+    def _dbg(name, arr):
+        # stage-by-stage finiteness probe (debug=True): NaN anywhere
+        # upstream poisons even the lam=0 primal through st_at's
+        # 0 * NaN, so the final finite-check cannot localize failures
+        if not debug:
+            return
+        a = np.asarray(arr, np.float64)
+        fin = np.isfinite(a)
+        mx = float(np.abs(a[fin]).max()) if fin.any() else float("nan")
+        print(f"    [resp {name}] finite={bool(fin.all())} "
+              f"bad={int((~fin).sum())}/{a.size} maxabs={mx:.3e}",
+              flush=True)
+
     def run_dir(Ta, Tb):
         rh = build_harm(Ta, Tb)
         ra = build_anh(Ta, Tb)
@@ -451,8 +465,10 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
             st0 = ensemble_states(bsys, ntraj, lo=c0, hi=c1)
             fin1, _ = ensemble_run(bsys, st0, nsteps, t0=0,
                                    block=block_eff)
+            _dbg("fin1 (zero-init harmonic period)", state_ravel(fin1))
             x0 = periodic_fixed_point(A, state_ravel(fin1), nsteps,
                                       power=AP)
+            _dbg("x0 (periodic point)", x0)
             stw = state_unravel(x0, sys_h, dtype=rh.dtype)
             bfam = bsys.replace(force_fn=fam_force)
             dt_r = stw.p.dtype
@@ -479,8 +495,10 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
             # x*' = (I - A^P)^{-1} Phi_lam  (implicit function theorem)
             _, t1 = jax.jvp(lambda l: period_final(l, zst, zst),
                             (0.0,), (1.0,))
-            x1p = periodic_fixed_point(A, np.asarray(t1, np.float64),
-                                       nsteps, power=AP)
+            t1 = np.asarray(t1, np.float64)
+            _dbg("t1 (Phi_lam tangent)", t1)
+            x1p = periodic_fixed_point(A, t1, nsteps, power=AP)
+            _dbg("x1p (attractor d1)", x1p)
             dst1 = state_unravel(x1p, sys_h, dtype=dt_r)
             # x*'' from psi(lam) = Phi(x*_0 + lam x*', lam)
             if fd2:
@@ -488,7 +506,9 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
                     _, t = jax.jvp(
                         lambda m: period_final(m, dst1, zst),
                         (lam,), (1.0,))
-                    return np.asarray(t, np.float64)
+                    t = np.asarray(t, np.float64)
+                    _dbg(f"psi'({lam})", t)
+                    return t
 
                 t2 = (psi1(float(fd2)) - psi1(0.0)) / float(fd2)
             else:
@@ -499,6 +519,7 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
                     (0.0,), (1.0,))
                 t2 = np.asarray(t2, np.float64)
             x2p = periodic_fixed_point(A, t2, nsteps, power=AP)
+            _dbg("x2p (attractor d2)", x2p)
             dst2 = state_unravel(x2p, sys_h, dtype=dt_r)
 
             def run_lam(lam):
@@ -515,7 +536,10 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
                 # jvp-exact d1 (same noise keys at both lam points, so
                 # the stochastic part cancels in the difference)
                 j0, d1a = jax.jvp(run_lam, (0.0,), (1.0,))
+                _dbg("j0", j0)
+                _dbg("d1(0)", d1a)
                 _, d1s = jax.jvp(run_lam, (float(fd2),), (1.0,))
+                _dbg(f"d1({fd2})", d1s)
                 d2 = (np.asarray(d1s, np.float64)
                       - np.asarray(d1a, np.float64)) / float(fd2)
             else:

@@ -55,7 +55,7 @@ def arg(name, default, cast=int):
 
 
 def run_and_cache(chunk=4, ntraj=32, log2nmd=14, seed=11, out=OUT,
-                  fd2=0.0):
+                  fd2=0.0, debug=False):
     import jax.numpy as jnp
 
     from sclmd_tpu import baths as B
@@ -97,7 +97,7 @@ def run_and_cache(chunk=4, ntraj=32, log2nmd=14, seed=11, out=OUT,
     t0 = time.time()
     j0, d1, d2 = perturbative_anharmonic_response(
         build_c, build_anh, TL, TR, ntraj, nsteps=nmd, seed=seed,
-        chunk=chunk, fd2=fd2)
+        chunk=chunk, fd2=fd2, debug=debug)
     wall = time.time() - t0
 
     j_ref = float(negf["j_nat"])
@@ -131,4 +131,5 @@ if __name__ == "__main__":
         jax.config.update("jax_enable_x64", True)
     run_and_cache(chunk=arg("--chunk", 4), ntraj=arg("--ntraj", 32),
                   log2nmd=arg("--nmd", 14), seed=arg("--seed", 11),
-                  fd2=arg("--fd2", 0.0, float))
+                  fd2=arg("--fd2", 0.0, float),
+                  debug="--debug" in sys.argv)
