@@ -537,8 +537,10 @@ def crosscheck_anh(jax, jnp):
           with its tier/chunk/wall metadata)
       scripts/flagship_scp_summary.npz — independent static SCP Hartree
           estimate (scripts/exp_xcheck_scp.py report, CPU campaign)
-      scripts/flagship_exact_conf_nmd*.npz / flagship_exact_nmd*.npz
-          — exact attractor values of the confined/raw references
+      scripts/flagship_exact_scp_{conf,eff}_nmd*.npz /
+          flagship_exact_nmd*.npz — exact attractor values of the
+          confined / SCP-effective / raw references (the j0 gate file
+          is named by the response cache's ``gate`` field)
 
     A live re-run stays available for experiments via
     SCLMD_BENCH_ANH_LIVE=1 (chunked; SCLMD_BENCH_ANH_CHUNK, default 4)
@@ -566,8 +568,11 @@ def crosscheck_anh(jax, jnp):
         r = np.load(resp_fn)
         j0, d1, d2 = (np.asarray(r[k]) for k in ("j0", "d1", "d2"))
         nmd = int(r["nmd"])
+        ref = str(r["ref"]) if "ref" in r.files else "conf"
+        gate = (str(r["gate"]) if "gate" in r.files
+                else f"flagship_exact_conf_nmd{nmd}.npz")
         rn = np.sqrt(len(d1))
-        exact_fn = os.path.join(sdir, f"flagship_exact_conf_nmd{nmd}.npz")
+        exact_fn = os.path.join(sdir, gate)
         j_exact = (float(np.load(exact_fn)["j_nat"])
                    if os.path.exists(exact_fn) else j_ref)
         corr = float(d1.mean() + d2.mean() / 2)
@@ -575,12 +580,13 @@ def crosscheck_anh(jax, jnp):
         j_anh = j_exact + corr
         out.update({
             "anh_estimator": "perturbative response (jvp) on the "
-                             "confined-reference attractor, order 2 "
+                             f"{ref}-reference attractor, order 2 "
                              f"(cached: ntraj={len(d1)}, nmd={nmd}, "
                              f"chunk={int(r['chunk'])}, "
                              f"wall {float(r['wall_s']):.0f} s)",
-            "anh_exact_base": "exact_gle(D_conf)" if j_exact != j_ref
-                              else "landauer (exact conf cache "
+            "anh_exact_base": f"exact_gle(D_{ref})"
+                              if j_exact != j_ref
+                              else f"landauer (exact {ref} cache "
                                    "missing)",
             "anh_nmd": nmd,
             "anh_j0_gate_dev_pct": round(
@@ -596,17 +602,27 @@ def crosscheck_anh(jax, jnp):
             "anh_correction_sem_pct": round(csem / j_ref * 100, 3),
             "anh_kappa_md_nw_per_k": round(
                 j_anh / (XC_T * XC_DELTA) * U.CURCOF, 5),
-            "anharmonic_quantum_dev_pct": round(
-                (j_anh - j_ref) / j_ref * 100, 2),
-            "anharmonic_quantum_sem_pct": round(csem / j_ref * 100, 2),
         })
         base_fn = os.path.join(sdir, f"flagship_exact_nmd{nmd}.npz")
         if os.path.exists(base_fn) and j_exact != j_ref:
-            # decomposition: deterministic confinement shift
-            # (kappa_exact(D') - kappa_exact(D)) vs the MD response
+            # the quotable anharmonic delta is a comb-tier RATIO
+            # (both the anharmonic estimate and the harmonic base at
+            # the same nmd comb, so the deterministic comb bias
+            # largely cancels), directly comparable to the SCP
+            # continuum delta; the static reference shift
+            # (kappa_exact(D_ref) - kappa_exact(D)) decomposes it
             j_base = float(np.load(base_fn)["j_nat"])
-            out["anh_confinement_shift_pct"] = round(
-                (j_exact - j_base) / j_ref * 100, 3)
+            out["anh_ref_static_shift_pct"] = round(
+                (j_exact - j_base) / j_base * 100, 3)
+            out["anharmonic_quantum_dev_pct"] = round(
+                (j_anh - j_base) / j_base * 100, 2)
+            out["anharmonic_quantum_sem_pct"] = round(
+                csem / j_base * 100, 2)
+        else:
+            out["anharmonic_quantum_dev_pct"] = round(
+                (j_anh - j_ref) / j_ref * 100, 2)
+            out["anharmonic_quantum_sem_pct"] = round(
+                csem / j_ref * 100, 2)
     else:
         out["anh_response_missing"] = (
             "scripts/flagship_response.npz not cached — run "

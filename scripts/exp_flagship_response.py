@@ -27,6 +27,23 @@ perturbative_anharmonic_response docstring); the FD bias is pinned
 against the nested path on the quartic chain in
 tests/test_exact_gle.py::TestSCPRenormalization.
 
+Round-5 finding #2 (--ref): responding around the CONFINED harmonic
+reference D' = D + dD_conf diverges on the flagship. The first-order
+force mismatch around D' contains the full Hartree term (||dD||/||D||
+= 0.68, scripts/flagship_scp_dD.npz), so the attractor derivative d1
+= (I-A^P)^{-1} Phi_lam reaches |x|~1.5e4 along the soft modes
+(stage-probed via --debug) and the finite-lam evaluations at
+0.05*d1-shifted states hand the Tersoff driver a broken geometry ->
+NaN. Around the SCP effective Hessian D_eff = D + dD (--ref eff,
+the default) the smeared linear mismatch is ZERO by the SCP
+self-consistency condition — the tangent dynamics feel only the
+beyond-Hartree residual — and D_eff is stable (lowest kept mode 1.13
+meV, no negative directions after constraint projection). The j0
+gate then checks against exact_gle(D_eff) and d1 + d2/2 measures the
+dynamical correction BEYOND the static SCP estimate, which is
+exactly the independent cross-certification VERDICT r4 item 5 asks
+for.
+
 Reference analog: anharmonic REBO MD (ref examples/runmd.py:27) vs
 harmonic NEGF (ref examples/runnegf.py:17-28) — no error bars there;
 this gives the correction with jvp-tight statistics.
@@ -55,7 +72,7 @@ def arg(name, default, cast=int):
 
 
 def run_and_cache(chunk=4, ntraj=32, log2nmd=14, seed=11, out=OUT,
-                  fd2=0.0, debug=False):
+                  fd2=0.0, debug=False, ref="eff"):
     import jax.numpy as jnp
 
     from sclmd_tpu import baths as B
@@ -73,13 +90,15 @@ def run_and_cache(chunk=4, ntraj=32, log2nmd=14, seed=11, out=OUT,
     axyz = [[str(e)] + list(map(float, p))
             for e, p in zip(negf["els"], negf["pos"])]
     part = partition_by_axis(axyz)
-    dyn_conf = (np.asarray(negf["dyn_ev2"], np.float64)
-                + np.load(os.path.join(HERE, "flagship_confine.npz"))["dD"])
+    ref_dd = {"conf": "flagship_confine.npz",
+              "eff": "flagship_scp_dD.npz"}[ref]
+    dyn_ref = (np.asarray(negf["dyn_ev2"], np.float64)
+               + np.load(os.path.join(HERE, ref_dd))["dD"])
     drv = CHDriver(axyz, dtype=jnp.float32)
     TL, TR = T * (1 + DELTA / 2), T * (1 - DELTA / 2)
 
     def build_c(Ta, Tb):
-        runner = MDRunner(DT, nmd, T, axyz=axyz, dyn=dyn_conf,
+        runner = MDRunner(DT, nmd, T, axyz=axyz, dyn=dyn_ref,
                           dtype=jnp.float32, seed=seed,
                           outdir=tempfile.mkdtemp(prefix="resp_"))
         for cats, tt in ((part["ecatsl"], Ta), (part["ecatsr"], Tb)):
@@ -101,25 +120,27 @@ def run_and_cache(chunk=4, ntraj=32, log2nmd=14, seed=11, out=OUT,
     wall = time.time() - t0
 
     j_ref = float(negf["j_nat"])
-    exact_fn = os.path.join(HERE, f"flagship_exact_conf_nmd{nmd}.npz")
+    gate = f"flagship_exact_scp_{ref}_nmd{nmd}.npz"
+    exact_fn = os.path.join(HERE, gate)
     j_exact = (float(np.load(exact_fn)["j_nat"])
                if os.path.exists(exact_fn) else j_ref)
     rn = np.sqrt(ntraj)
     corr = float(d1.mean() + d2.mean() / 2)
     csem = float(np.hypot(d1.std(), d2.std() / 2) / rn)
-    print(f"response ntraj={ntraj} nmd=2^{log2nmd} chunk={chunk} "
-          f"fd2={fd2} ({wall:.0f} s):")
+    print(f"response ref={ref} ntraj={ntraj} nmd=2^{log2nmd} "
+          f"chunk={chunk} fd2={fd2} ({wall:.0f} s):")
     print(f"  j0 gate dev {(float(j0.mean()) - j_exact) / j_ref * 100:+.3f}% "
-          f"vs {'exact(conf)' if j_exact != j_ref else 'Landauer'}")
+          f"vs {f'exact({ref})' if j_exact != j_ref else 'Landauer'}")
     print(f"  d1 {float(d1.mean()) / j_ref * 100:+.3f}% "
           f"(SEM {float(d1.std()) / rn / j_ref * 100:.3f}%), "
           f"d2/2 {float(d2.mean()) / 2 / j_ref * 100:+.3f}% "
           f"(SEM {float(d2.std()) / 2 / rn / j_ref * 100:.3f}%)")
-    print(f"  correction {corr / j_ref * 100:+.3f}% "
+    print(f"  correction beyond exact({ref}) {corr / j_ref * 100:+.3f}% "
           f"(SEM {csem / j_ref * 100:.3f}%), kappa_anh = "
           f"{(j_exact + corr) / (T * DELTA) * U.CURCOF:.5f} nW/K")
     np.savez(out, j0=j0, d1=d1, d2=d2, ntraj=ntraj, nmd=nmd,
-             chunk=chunk, seed=seed, wall_s=wall, fd2=fd2)
+             chunk=chunk, seed=seed, wall_s=wall, fd2=fd2,
+             ref=ref, gate=gate)
     print(f"  -> {out}")
     return j0, d1, d2
 
@@ -132,4 +153,6 @@ if __name__ == "__main__":
     run_and_cache(chunk=arg("--chunk", 4), ntraj=arg("--ntraj", 32),
                   log2nmd=arg("--nmd", 14), seed=arg("--seed", 11),
                   fd2=arg("--fd2", 0.0, float),
+                  ref=arg("--ref", "eff", str),
+                  out=arg("--out", OUT, str),
                   debug="--debug" in sys.argv)

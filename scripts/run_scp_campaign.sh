@@ -74,7 +74,7 @@ python "$S" report || die "report failed after continuum stages"
 [ -e scripts/flagship_scp_summary.npz ] || die "report wrote no summary"
 touch /tmp/scp5_CONTINUUM_DONE
 
-run flagship_exact_conf_nmd16384.npz 14400 exact --which conf --nmd 14
+run flagship_exact_scp_conf_nmd16384.npz 14400 exact --which conf --nmd 14
 touch /tmp/scp5_CONF14_DONE
 run flagship_exact_scp_eff_nmd16384.npz 14400 exact --which eff --nmd 14
 python "$S" report || die "report failed after eff@2^14"
