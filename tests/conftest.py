@@ -18,6 +18,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# The fast tier is XLA-COMPILE-bound (~6.5 s/test average, almost all
+# of it jit compiles of the same integrator/bath programs), so repeat
+# runs benefit enormously from the persistent compilation cache: the
+# first run on a container pays full compile, later runs replay from
+# ~/.cache. Harmless on CI/fresh containers (cold cache = old
+# behavior).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/sclmd_tpu_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
