@@ -360,6 +360,12 @@ def report():
 
     def j_of(which, log2nmd, classical=False):
         p = exact_path(which, log2nmd, classical)
+        if not os.path.exists(p) and which == "base" and not classical:
+            # the r3 exact-theory campaign cache (exp_xcheck_exact.py)
+            # IS base: identical runner setup (same xc constants,
+            # partition, quantum ebaths wmax=1.0/nw=500, constraints),
+            # dyn = D with no dD
+            p = os.path.join(HERE, f"flagship_exact_nmd{2**log2nmd}.npz")
         return float(np.load(p)["j_nat"]) if os.path.exists(p) else None
 
     print("=== SCP anharmonic quantum flagship conductance ===")
