@@ -279,6 +279,15 @@ def harmonic_twin_delta(build_harm, build_anh, TL, TR, ntraj: int,
     return delta
 
 
+# fd2="auto" basin control: each FD lam-step is capped so the
+# warm-start displacement lam|x*'| + lam^2/2 |x*''| stays within
+# _BASIN_FRAC of the attractor's own state scale (the polynomial
+# family force diverges a few state-scales out — measured on the
+# flagship, see perturbative_anharmonic_response docstring).
+_BASIN_FRAC = 0.05
+_FD2_CAP = 0.05
+
+
 def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
                                      ntraj: int,
                                      nsteps: Optional[int] = None,
@@ -371,6 +380,21 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
     max|d2| at fd2=0.05, 0.7% at 0.025 on the quartic chain, pinned
     against the nested-jvp path in tests/test_exact_gle.py.
 
+    ``fd2="auto"`` sizes each FD step from the measured attractor
+    jets instead: the finite-lam PRIMAL starts at x0 + lam x*'
+    (+ lam^2/2 x*'' for the measurement run) and integrates the
+    polynomial family force, whose stability basin is only a few
+    multiples of the attractor's own scale. When the attractor
+    lam-derivatives are large (flagship around D_eff: |x*'| ~ 70x and
+    |x*''| ~ 1e5x the state scale — the soft modes respond
+    near-resonantly to the Hartree dD), a fixed fd2=0.01 start
+    displacement of ~5x scale diverges (measured: NaN in 1/4
+    trajectories while every attractor-tangent stage stays finite).
+    "auto" caps lam |x*'| and lam^2/2 |x*''| at 5% of max|x0| per
+    chunk (and at 0.05 absolute); the common-noise/common-executable
+    FD difference keeps the stochastic part cancelling exactly at any
+    step size, so shrinking fd2 costs only roundoff amplification.
+
     Same build contract as ``harmonic_twin_delta``. Returns (j0, d1,
     d2) arrays of shape (ntraj,), all antithetic-paired over (TL,TR)/
     (TR,TL) with shared keys.
@@ -399,6 +423,9 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
     if block_eff and nsteps % block_eff:
         block_eff = None
     chunk = int(chunk) if chunk else ntraj
+    fd2_auto = isinstance(fd2, str)
+    if fd2_auto and fd2 != "auto":
+        raise ValueError(f"fd2 must be a float or 'auto', got {fd2!r}")
 
     def _dbg(name, arr):
         # stage-by-stage finiteness probe (debug=True): NaN anywhere
@@ -500,6 +527,22 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
             x1p = periodic_fixed_point(A, t1, nsteps, power=AP)
             _dbg("x1p (attractor d1)", x1p)
             dst1 = state_unravel(x1p, sys_h, dtype=dt_r)
+            # lam-step for the FD pieces: the finite-lam PRIMAL starts
+            # at x0 + lam x1p (+ lam^2/2 x2p below) and runs the
+            # polynomial family force, whose stability basin is the
+            # attractor's own scale — a start displacement a few times
+            # max|x0| diverges (measured on the flagship: fd2=0.01
+            # puts lam^2/2 |x2p| ~ 220 on a ~40-scale state -> NaN in
+            # 1/4 trajectories while every attractor stage stays
+            # finite). "auto" caps each FD step so the warm-start
+            # displacement stays <= BASIN_FRAC of the state scale.
+            scale = float(np.abs(np.asarray(x0, np.float64)).max())
+            m1 = float(np.abs(x1p).max())
+            if fd2_auto:
+                fd2_psi = min(_FD2_CAP,
+                              _BASIN_FRAC * scale / max(m1, 1e-300))
+            else:
+                fd2_psi = float(fd2)
             # x*'' from psi(lam) = Phi(x*_0 + lam x*', lam)
             if fd2:
                 def psi1(lam):
@@ -510,7 +553,7 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
                     _dbg(f"psi'({lam})", t)
                     return t
 
-                t2 = (psi1(float(fd2)) - psi1(0.0)) / float(fd2)
+                t2 = (psi1(float(fd2_psi)) - psi1(0.0)) / float(fd2_psi)
             else:
                 _, (_, t2) = jax.jvp(
                     lambda l: jax.jvp(
@@ -521,6 +564,16 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
             x2p = periodic_fixed_point(A, t2, nsteps, power=AP)
             _dbg("x2p (attractor d2)", x2p)
             dst2 = state_unravel(x2p, sys_h, dtype=dt_r)
+            if fd2_auto:
+                m2 = float(np.abs(np.asarray(x2p, np.float64)).max())
+                fd2_run = min(fd2_psi, np.sqrt(
+                    2 * _BASIN_FRAC * scale / max(m2, 1e-300)))
+                print(f"    [resp fd2 auto] chunk [{c0}:{c1}] "
+                      f"scale={scale:.3g} |x1p|={m1:.3g} |x2p|={m2:.3g}"
+                      f" -> fd2_psi={fd2_psi:.3g} fd2_run={fd2_run:.3g}",
+                      flush=True)
+            else:
+                fd2_run = float(fd2) if fd2 else 0.0
 
             def run_lam(lam):
                 sysl = bfam.replace(
@@ -538,10 +591,10 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
                 j0, d1a = jax.jvp(run_lam, (0.0,), (1.0,))
                 _dbg("j0", j0)
                 _dbg("d1(0)", d1a)
-                _, d1s = jax.jvp(run_lam, (float(fd2),), (1.0,))
-                _dbg(f"d1({fd2})", d1s)
+                _, d1s = jax.jvp(run_lam, (float(fd2_run),), (1.0,))
+                _dbg(f"d1({fd2_run})", d1s)
                 d2 = (np.asarray(d1s, np.float64)
-                      - np.asarray(d1a, np.float64)) / float(fd2)
+                      - np.asarray(d1a, np.float64)) / float(fd2_run)
             else:
                 # one nested forward-over-forward pass: primal
                 # (j0, d1), tangent (d1, d2)

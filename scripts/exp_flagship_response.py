@@ -152,7 +152,8 @@ if __name__ == "__main__":
         jax.config.update("jax_enable_x64", True)
     run_and_cache(chunk=arg("--chunk", 4), ntraj=arg("--ntraj", 32),
                   log2nmd=arg("--nmd", 14), seed=arg("--seed", 11),
-                  fd2=arg("--fd2", 0.0, float),
+                  fd2=arg("--fd2", 0.0,
+                          lambda s: s if s == "auto" else float(s)),
                   ref=arg("--ref", "eff", str),
                   out=arg("--out", OUT, str),
                   debug="--debug" in sys.argv)

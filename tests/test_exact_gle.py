@@ -689,6 +689,18 @@ class TestPerturbativeFamilies:
         assert errs[0.1] < 0.2, errs
         assert errs[0.05] < 0.05, errs
         assert errs[0.05] < 0.5 * errs[0.1], errs
+        # fd2="auto" sizes the FD step from the measured attractor
+        # jets (basin guard for the flagship's near-resonant soft-mode
+        # response); same jvp first-order pieces, d2 within the
+        # fixed-step envelope (auto never picks a LARGER step than
+        # the 0.05 cap)
+        j0a, d1a, d2a = perturbative_anharmonic_response(
+            base, build_anh, TL, TR, ntraj, seed=5,
+            family="taylor", fd2="auto")
+        np.testing.assert_allclose(j0a, j0n, rtol=1e-9)
+        np.testing.assert_allclose(d1a, d1n, rtol=1e-7,
+                                   atol=1e-12 * scale)
+        assert np.abs(d2a - d2n).max() / scale < 0.05
 
 
 class TestExpectedCurrentsSlow:
