@@ -19,13 +19,18 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # The fast tier is XLA-COMPILE-bound (~6.5 s/test average, almost all
-# of it jit compiles of the same integrator/bath programs), so repeat
-# runs benefit enormously from the persistent compilation cache: the
-# first run on a container pays full compile, later runs replay from
-# ~/.cache. Harmless on CI/fresh containers (cold cache = old
-# behavior).
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/sclmd_tpu_xla"))
+# of it jit compiles of the same integrator/bath programs), so runs
+# benefit enormously from the persistent compilation cache. The cache
+# lives IN the repo (tests/.xla_cache, committed): a fresh checkout's
+# first suite run replays the committed compiles instead of redoing
+# them. Entries are keyed on jax version/backend/flags — a mismatch
+# silently falls back to a normal compile, so a stale cache can only
+# cost time, never correctness. Override with SCLMD_XLA_CACHE.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("SCLMD_XLA_CACHE",
+                   os.path.join(os.path.dirname(__file__),
+                                ".xla_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
