@@ -15,7 +15,11 @@ estimator has a ``chunk`` parameter for exactly this; default here is
 4 trajectories per batch.
 
     python scripts/exp_flagship_response.py [--chunk 4] [--ntraj 32]
-        [--nmd LOG2N=14] [--fd2 S] [--cpu]
+        [--nmd LOG2N=14] [--fd2 auto|S|0] [--cpu]
+
+``--fd2`` defaults to "auto" (basin-guarded FD step — the production
+path; see the estimator docstring); an explicit 0 selects the nested
+jvp-of-jvp, which is CPU-only (crashes the axon TPU worker).
 
 Round-5 finding: chunking does NOT fix the crash — the nested
 (second-order) jvp program itself kills the worker even at chunk=4,
@@ -152,7 +156,7 @@ if __name__ == "__main__":
         jax.config.update("jax_enable_x64", True)
     run_and_cache(chunk=arg("--chunk", 4), ntraj=arg("--ntraj", 32),
                   log2nmd=arg("--nmd", 14), seed=arg("--seed", 11),
-                  fd2=arg("--fd2", 0.0,
+                  fd2=arg("--fd2", "auto",
                           lambda s: s if s == "auto" else float(s)),
                   ref=arg("--ref", "eff", str),
                   out=arg("--out", OUT, str),
