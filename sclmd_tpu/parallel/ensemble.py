@@ -357,6 +357,21 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
       E[d1] = 0 by Gaussian parity (a built-in null gate) and the
       physical correction is d2/2. Polynomial forcing keeps the
       response finite at any amplitude.
+    * ``"poly"``: straight line in the quartic normal form,
+      F_lam = -D q + lam [L + Phi3 + Phi4](q) — same jets, same
+      lam=1 endpoint, but every anharmonic order enters at the SAME
+      lam order. With D = D_eff (the SCP Hessian) this is the
+      Hartree-NEUTRAL path: the smeared Hessian along it is
+      lam-independent by SCP self-consistency, the attractor barely
+      moves with lam, and (d1, d2) measure only the beyond-Hartree
+      (self-consistency residual + Phi3^2 vertex) physics. Measured
+      on the flagship around D_eff: the taylor path's J(lam)
+      curvature is ~1e6 x the signal because the destabilizing
+      linear mismatch g1 = dD q arrives at order lam while the
+      compensating quartic confinement arrives at lam^2 — use
+      "poly" there. (The one-sided fd2 difference loses the
+      odd-parity cancellation on this family: truncation O(fd2),
+      still negligible at auto-sized steps.)
     * ``"force"``: the naive straight-line family
       F_lam = -Dq + lam (F_anh + Dq). DIVERGES on stiff many-body
       potentials (measured: d2 ~ 1e7 x the signal on the flagship —
@@ -453,7 +468,7 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
             def fam_force(q, lam):
                 base = -(dyn_j @ q)
                 return base + lam * (f_anh(q) - base)
-        elif family == "taylor":
+        elif family in ("taylor", "poly"):
             def fam_force(q, lam):
                 base = -(dyn_j @ q)
 
@@ -473,6 +488,22 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
                 P, T = jax.jvp(i2, (0.0,), (1.0,))
                 (_, g1), (_, g2) = P        # ((F0, g1), (g1, g2))
                 (_, _g2b), (_, g3) = T      # ((g1, g2), (g2, g3))
+                if family == "poly":
+                    # straight line in the quartic normal form: every
+                    # anharmonic order enters at the SAME lam order,
+                    # so when dyn = D_eff the smeared (Hartree)
+                    # Hessian is lam-INDEPENDENT by SCP
+                    # self-consistency — D(lam) = D_eff + lam(<H> -
+                    # D_eff) = D_eff — and the attractor barely moves
+                    # with lam. The amplitude-scaling path below
+                    # instead injects the destabilizing linear
+                    # mismatch g1 = dD q at order lam but the
+                    # compensating quartic confinement only at lam^2:
+                    # measured on the flagship around D_eff, its
+                    # J(lam) curvature is ~1e6 x the signal (d2/2 ~
+                    # +1e7 % with |x*''| ~ 3.6e5 x the state scale) —
+                    # a property of the PATH, not of the physics.
+                    return base + lam * (g1 + 0.5 * g2 + g3 / 6.0)
                 return (base + lam * (g1 + 0.5 * g2)
                         + (lam * lam / 6.0) * g3)
         else:

@@ -76,7 +76,7 @@ def arg(name, default, cast=int):
 
 
 def run_and_cache(chunk=4, ntraj=32, log2nmd=14, seed=11, out=OUT,
-                  fd2=0.0, debug=False, ref="eff"):
+                  fd2="auto", debug=False, ref="eff", family="poly"):
     import jax.numpy as jnp
 
     from sclmd_tpu import baths as B
@@ -120,7 +120,7 @@ def run_and_cache(chunk=4, ntraj=32, log2nmd=14, seed=11, out=OUT,
     t0 = time.time()
     j0, d1, d2 = perturbative_anharmonic_response(
         build_c, build_anh, TL, TR, ntraj, nsteps=nmd, seed=seed,
-        chunk=chunk, fd2=fd2, debug=debug)
+        chunk=chunk, fd2=fd2, debug=debug, family=family)
     wall = time.time() - t0
 
     j_ref = float(negf["j_nat"])
@@ -131,8 +131,8 @@ def run_and_cache(chunk=4, ntraj=32, log2nmd=14, seed=11, out=OUT,
     rn = np.sqrt(ntraj)
     corr = float(d1.mean() + d2.mean() / 2)
     csem = float(np.hypot(d1.std(), d2.std() / 2) / rn)
-    print(f"response ref={ref} ntraj={ntraj} nmd=2^{log2nmd} "
-          f"chunk={chunk} fd2={fd2} ({wall:.0f} s):")
+    print(f"response ref={ref} family={family} ntraj={ntraj} "
+          f"nmd=2^{log2nmd} chunk={chunk} fd2={fd2} ({wall:.0f} s):")
     print(f"  j0 gate dev {(float(j0.mean()) - j_exact) / j_ref * 100:+.3f}% "
           f"vs {f'exact({ref})' if j_exact != j_ref else 'Landauer'}")
     print(f"  d1 {float(d1.mean()) / j_ref * 100:+.3f}% "
@@ -144,7 +144,7 @@ def run_and_cache(chunk=4, ntraj=32, log2nmd=14, seed=11, out=OUT,
           f"{(j_exact + corr) / (T * DELTA) * U.CURCOF:.5f} nW/K")
     np.savez(out, j0=j0, d1=d1, d2=d2, ntraj=ntraj, nmd=nmd,
              chunk=chunk, seed=seed, wall_s=wall, fd2=fd2,
-             ref=ref, gate=gate)
+             ref=ref, gate=gate, family=family)
     print(f"  -> {out}")
     return j0, d1, d2
 
@@ -159,5 +159,6 @@ if __name__ == "__main__":
                   fd2=arg("--fd2", "auto",
                           lambda s: s if s == "auto" else float(s)),
                   ref=arg("--ref", "eff", str),
+                  family=arg("--family", "poly", str),
                   out=arg("--out", OUT, str),
                   debug="--debug" in sys.argv)

@@ -630,6 +630,16 @@ class TestPerturbativeFamilies:
         # -> d2_t / 2 == d1_f, per trajectory (same noise keys)
         np.testing.assert_allclose(d2t / 2, d1f, rtol=5e-3,
                                    atol=1e-12)
+        # poly family (straight line in the quartic normal form): for
+        # a pure polynomial perturbation the normal form IS the
+        # perturbation, so J_p(lam) == J_f(lam) exactly — identical
+        # responses through a completely different force path (jets
+        # vs direct evaluation)
+        j0p, d1p, d2p = perturbative_anharmonic_response(
+            base, build_anh, TL, TR, ntraj, seed=5, family="poly")
+        np.testing.assert_allclose(j0p, j0f, rtol=1e-9)
+        np.testing.assert_allclose(d1p, d1f, rtol=1e-7, atol=1e-14)
+        np.testing.assert_allclose(d2p, d2f, rtol=1e-6, atol=1e-12)
 
     def test_fd2_matches_nested_jvp_on_quartic_chain(self):
         """The fd2 (one-sided FD second order) path — the one that can
