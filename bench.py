@@ -569,20 +569,18 @@ def crosscheck_anh(jax, jnp):
         j0, d1, d2 = (np.asarray(r[k]) for k in ("j0", "d1", "d2"))
         nmd = int(r["nmd"])
         ref = str(r["ref"]) if "ref" in r.files else "conf"
+        order = int(r["order"]) if "order" in r.files else 2
         gate = (str(r["gate"]) if "gate" in r.files
                 else f"flagship_exact_conf_nmd{nmd}.npz")
         rn = np.sqrt(len(d1))
         exact_fn = os.path.join(sdir, gate)
         j_exact = (float(np.load(exact_fn)["j_nat"])
                    if os.path.exists(exact_fn) else j_ref)
-        corr = float(d1.mean() + d2.mean() / 2)
-        csem = float(np.hypot(d1.std(), d2.std() / 2) / rn)
-        j_anh = j_exact + corr
         out.update({
             "anh_estimator": "perturbative response (jvp) on the "
-                             f"{ref}-reference attractor, order 2 "
-                             f"(cached: ntraj={len(d1)}, nmd={nmd}, "
-                             f"chunk={int(r['chunk'])}, "
+                             f"{ref}-reference attractor, order "
+                             f"{order} (cached: ntraj={len(d1)}, "
+                             f"nmd={nmd}, chunk={int(r['chunk'])}, "
                              f"wall {float(r['wall_s']):.0f} s)",
             "anh_exact_base": f"exact_gle(D_{ref})"
                               if j_exact != j_ref
@@ -591,38 +589,43 @@ def crosscheck_anh(jax, jnp):
             "anh_nmd": nmd,
             "anh_j0_gate_dev_pct": round(
                 (float(j0.mean()) - j_exact) / j_ref * 100, 3),
+            "anh_j0_gate_sem_pct": round(
+                float(j0.std()) / rn / j_ref * 100, 3),
             "anh_d1_pct": round(float(d1.mean()) / j_ref * 100, 3),
             "anh_d1_sem_pct": round(float(d1.std()) / rn / j_ref * 100,
                                     3),
-            "anh_d2half_pct": round(float(d2.mean()) / 2 / j_ref * 100,
-                                    3),
-            "anh_d2half_sem_pct": round(
-                float(d2.std()) / 2 / rn / j_ref * 100, 3),
-            "anh_correction_pct": round(corr / j_ref * 100, 3),
-            "anh_correction_sem_pct": round(csem / j_ref * 100, 3),
-            "anh_kappa_md_nw_per_k": round(
-                j_anh / (XC_T * XC_DELTA) * U.CURCOF, 5),
         })
-        base_fn = os.path.join(sdir, f"flagship_exact_nmd{nmd}.npz")
-        if os.path.exists(base_fn) and j_exact != j_ref:
-            # the quotable anharmonic delta is a comb-tier RATIO
-            # (both the anharmonic estimate and the harmonic base at
-            # the same nmd comb, so the deterministic comb bias
-            # largely cancels), directly comparable to the SCP
-            # continuum delta; the static reference shift
-            # (kappa_exact(D_ref) - kappa_exact(D)) decomposes it
-            j_base = float(np.load(base_fn)["j_nat"])
-            out["anh_ref_static_shift_pct"] = round(
-                (j_exact - j_base) / j_base * 100, 3)
-            out["anharmonic_quantum_dev_pct"] = round(
-                (j_anh - j_base) / j_base * 100, 2)
-            out["anharmonic_quantum_sem_pct"] = round(
-                csem / j_base * 100, 2)
+        if order >= 2 and np.isfinite(d2).all():
+            corr = float(d1.mean() + d2.mean() / 2)
+            csem = float(np.hypot(d1.std(), d2.std() / 2) / rn)
+            j_anh = j_exact + corr
+            out.update({
+                "anh_d2half_pct": round(
+                    float(d2.mean()) / 2 / j_ref * 100, 3),
+                "anh_d2half_sem_pct": round(
+                    float(d2.std()) / 2 / rn / j_ref * 100, 3),
+                "anh_correction_pct": round(corr / j_ref * 100, 3),
+                "anh_correction_sem_pct": round(csem / j_ref * 100,
+                                                3),
+                "anh_kappa_md_nw_per_k": round(
+                    j_anh / (XC_T * XC_DELTA) * U.CURCOF, 5),
+            })
         else:
-            out["anharmonic_quantum_dev_pct"] = round(
-                (j_anh - j_ref) / j_ref * 100, 2)
-            out["anharmonic_quantum_sem_pct"] = round(
-                csem / j_ref * 100, 2)
+            # flagship finding (r5, measured): at a finite periodic
+            # comb the attractor response is rational in lam with a
+            # pole wherever a dD-shifted soft mode crosses a comb
+            # line; around D_eff the pole forest has ~1e-3 spacing
+            # (d1 grows 7x over lam = 5e-4; d2/2 ~ 1e7 x the signal
+            # for both polynomial families), so no order-2
+            # lam-extrapolation exists at finite nmd. The response
+            # run contributes the j0 gate vs exact(D_ref) and the
+            # d1 SCP-self-consistency null; the quotable anharmonic
+            # number is the static SCP continuum delta below.
+            out["anh_response_role"] = (
+                "certification gate (j0 vs exact attractor + d1 "
+                "self-consistency null); order-2 lam-extrapolation "
+                "unavailable at finite comb (soft-mode pole forest, "
+                "docs/PERF.md)")
     else:
         out["anh_response_missing"] = (
             "scripts/flagship_response.npz not cached — run "
@@ -630,9 +633,12 @@ def crosscheck_anh(jax, jnp):
 
     scp_fn = os.path.join(sdir, "flagship_scp_summary.npz")
     if os.path.exists(scp_fn):
-        # independent static (SCP Hartree) theory estimate of the
-        # same correction — CPU campaign artifact
-        # (scripts/exp_xcheck_scp.py report)
+        # independent static (SCP Hartree) theory estimate — CPU
+        # campaign artifact (scripts/exp_xcheck_scp.py report). This
+        # is the PRODUCTION number for the anharmonic quantum
+        # correction: continuum representation, probe-SEM well under
+        # the 2% bar, cross-validated by the comb-resolved 2^14
+        # exact tiers and the d1 null above.
         scp = np.load(scp_fn)
         out["anh_scp_static_delta_pct"] = round(
             float(scp["delta_quantum_pct"]), 3)
@@ -641,6 +647,13 @@ def crosscheck_anh(jax, jnp):
         out["anh_scp_representation"] = str(scp["representation"])
         out["anh_scp_kappa_nw_per_k"] = round(
             float(scp["kappa_anh_nw_per_k"]), 5)
+        if "anharmonic_quantum_dev_pct" not in out:
+            out["anharmonic_quantum_dev_pct"] = round(
+                float(scp["delta_quantum_pct"]), 2)
+            out["anharmonic_quantum_sem_pct"] = round(
+                float(scp["probe_sem_pct"]), 2)
+            out["anh_quantum_source"] = (
+                "scp_static (continuum Landauer of D_eff)")
     else:
         out["anh_scp_missing"] = (
             "scripts/flagship_scp_summary.npz not cached — run "

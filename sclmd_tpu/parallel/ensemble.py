@@ -298,6 +298,7 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
                                      chunk: Optional[int] = None,
                                      family: str = "taylor",
                                      fd2: float = 0.0,
+                                     order: int = 2,
                                      debug: bool = False):
     """Quantum anharmonic conductance correction by PERTURBATIVE
     RESPONSE along the harmonic attractor — the estimator that survives
@@ -413,6 +414,18 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
     Same build contract as ``harmonic_twin_delta``. Returns (j0, d1,
     d2) arrays of shape (ntraj,), all antithetic-paired over (TL,TR)/
     (TR,TL) with shared keys.
+
+    ``order=1`` skips every second-order piece and returns d2 = NaN:
+    j0 and d1 at lam=0 are exactly independent of x*''. Use on
+    systems where the order-2 lam-extrapolation does not exist — at a
+    finite periodic comb the attractor response is rational in lam
+    with a pole wherever a dD-shifted soft mode crosses a comb line;
+    on the flagship around D_eff the pole forest has spacing ~1e-3
+    in lam (measured: d1(lam) grows 7x over lam = 5e-4, d2/2 ~ 1e7 x
+    the signal for both polynomial families), so the quotable
+    anharmonic number comes from the static SCP continuum estimator
+    and THIS estimator contributes the j0 gate plus the d1
+    self-consistency null.
     """
     from sclmd_tpu.md import (gle_step_jacobian, period_power,
                               periodic_fixed_point, state_ravel,
@@ -441,6 +454,8 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
     fd2_auto = isinstance(fd2, str)
     if fd2_auto and fd2 != "auto":
         raise ValueError(f"fd2 must be a float or 'auto', got {fd2!r}")
+    if order not in (1, 2):
+        raise ValueError(f"order must be 1 or 2, got {order}")
 
     def _dbg(name, arr):
         # stage-by-stage finiteness probe (debug=True): NaN anywhere
@@ -575,7 +590,24 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
             else:
                 fd2_psi = float(fd2)
             # x*'' from psi(lam) = Phi(x*_0 + lam x*', lam)
-            if fd2:
+            if order == 1:
+                # j0 and d1 at lam=0 are EXACTLY independent of x*''
+                # (its start contribution enters as lam^2/2, tangent
+                # as lam): skip the second-order pieces entirely.
+                # Flagship use case: at a finite periodic comb the
+                # attractor response is a rational function of lam
+                # with a pole wherever a dD-shifted soft mode crosses
+                # a comb line — with ||dD|| far above the soft-mode
+                # stiffness the pole forest has spacing ~1e-3 in lam
+                # (measured: d1(lam) grows 7x over lam = 5e-4,
+                # |x*''| FD estimates GROW as the step shrinks, d2/2
+                # ~ 1e7 x the signal for BOTH polynomial families),
+                # so the order-2 extrapolation to lam=1 does not
+                # exist at finite nmd. Order 1 still delivers the j0
+                # gate (vs the exact attractor value) and the d1
+                # SCP-self-consistency null.
+                t2 = None
+            elif fd2:
                 def psi1(lam):
                     _, t = jax.jvp(
                         lambda m: period_final(m, dst1, zst),
@@ -592,10 +624,15 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
                         (1.0,)),
                     (0.0,), (1.0,))
                 t2 = np.asarray(t2, np.float64)
-            x2p = periodic_fixed_point(A, t2, nsteps, power=AP)
-            _dbg("x2p (attractor d2)", x2p)
-            dst2 = state_unravel(x2p, sys_h, dtype=dt_r)
-            if fd2_auto:
+            if t2 is None:
+                dst2 = zst
+            else:
+                x2p = periodic_fixed_point(A, t2, nsteps, power=AP)
+                _dbg("x2p (attractor d2)", x2p)
+                dst2 = state_unravel(x2p, sys_h, dtype=dt_r)
+            if order == 1:
+                fd2_run = 0.0
+            elif fd2_auto:
                 m2 = float(np.abs(np.asarray(x2p, np.float64)).max())
                 fd2_run = min(fd2_psi, np.sqrt(
                     2 * _BASIN_FRAC * scale / max(m2, 1e-300)))
@@ -615,7 +652,15 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
                     / (nsteps - skip)
                 return (s[:, pair[0]] - s[:, pair[1]]) / 2
 
-            if fd2:
+            if order == 1:
+                # single-tangent pass: j0 + the d1 null, d2 not
+                # measured (NaN placeholder — see the pole-forest
+                # note above)
+                j0, d1a = jax.jvp(run_lam, (0.0,), (1.0,))
+                _dbg("j0", j0)
+                _dbg("d1(0)", d1a)
+                d2 = np.full(np.asarray(d1a).shape, np.nan)
+            elif fd2:
                 # two single-tangent passes; d2 by one-sided FD of the
                 # jvp-exact d1 (same noise keys at both lam points, so
                 # the stochastic part cancels in the difference)
@@ -632,9 +677,9 @@ def perturbative_anharmonic_response(build_harm, build_anh, TL, TR,
                 (j0, d1a), (_, d2) = jax.jvp(
                     lambda l: jax.jvp(run_lam, (l,), (1.0,)), (0.0,),
                     (1.0,))
-            for dst, val in zip(out, (j0, d1a, d2)):
+            for k, (dst, val) in enumerate(zip(out, (j0, d1a, d2))):
                 arr = np.asarray(val)
-                if not np.isfinite(arr).all():
+                if k < 3 - (order == 1) and not np.isfinite(arr).all():
                     raise FloatingPointError(
                         "perturbative_anharmonic_response: non-finite "
                         f"response in trajectories [{c0}:{c1}]")

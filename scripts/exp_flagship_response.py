@@ -76,7 +76,8 @@ def arg(name, default, cast=int):
 
 
 def run_and_cache(chunk=4, ntraj=32, log2nmd=14, seed=11, out=OUT,
-                  fd2="auto", debug=False, ref="eff", family="poly"):
+                  fd2="auto", debug=False, ref="eff", family="poly",
+                  order=1):
     import jax.numpy as jnp
 
     from sclmd_tpu import baths as B
@@ -120,7 +121,7 @@ def run_and_cache(chunk=4, ntraj=32, log2nmd=14, seed=11, out=OUT,
     t0 = time.time()
     j0, d1, d2 = perturbative_anharmonic_response(
         build_c, build_anh, TL, TR, ntraj, nsteps=nmd, seed=seed,
-        chunk=chunk, fd2=fd2, debug=debug, family=family)
+        chunk=chunk, fd2=fd2, debug=debug, family=family, order=order)
     wall = time.time() - t0
 
     j_ref = float(negf["j_nat"])
@@ -129,22 +130,27 @@ def run_and_cache(chunk=4, ntraj=32, log2nmd=14, seed=11, out=OUT,
     j_exact = (float(np.load(exact_fn)["j_nat"])
                if os.path.exists(exact_fn) else j_ref)
     rn = np.sqrt(ntraj)
-    corr = float(d1.mean() + d2.mean() / 2)
-    csem = float(np.hypot(d1.std(), d2.std() / 2) / rn)
-    print(f"response ref={ref} family={family} ntraj={ntraj} "
-          f"nmd=2^{log2nmd} chunk={chunk} fd2={fd2} ({wall:.0f} s):")
+    print(f"response ref={ref} family={family} order={order} "
+          f"ntraj={ntraj} nmd=2^{log2nmd} chunk={chunk} fd2={fd2} "
+          f"({wall:.0f} s):")
     print(f"  j0 gate dev {(float(j0.mean()) - j_exact) / j_ref * 100:+.3f}% "
+          f"(gate SEM {float(j0.std()) / rn / j_ref * 100:.3f}%) "
           f"vs {f'exact({ref})' if j_exact != j_ref else 'Landauer'}")
     print(f"  d1 {float(d1.mean()) / j_ref * 100:+.3f}% "
-          f"(SEM {float(d1.std()) / rn / j_ref * 100:.3f}%), "
-          f"d2/2 {float(d2.mean()) / 2 / j_ref * 100:+.3f}% "
-          f"(SEM {float(d2.std()) / 2 / rn / j_ref * 100:.3f}%)")
-    print(f"  correction beyond exact({ref}) {corr / j_ref * 100:+.3f}% "
-          f"(SEM {csem / j_ref * 100:.3f}%), kappa_anh = "
-          f"{(j_exact + corr) / (T * DELTA) * U.CURCOF:.5f} nW/K")
+          f"(SEM {float(d1.std()) / rn / j_ref * 100:.3f}%)"
+          + (" — SCP self-consistency null" if order == 1 else
+             f", d2/2 {float(d2.mean()) / 2 / j_ref * 100:+.3f}% "
+             f"(SEM {float(d2.std()) / 2 / rn / j_ref * 100:.3f}%)"))
+    if order >= 2:
+        corr = float(d1.mean() + d2.mean() / 2)
+        csem = float(np.hypot(d1.std(), d2.std() / 2) / rn)
+        print(f"  correction beyond exact({ref}) "
+              f"{corr / j_ref * 100:+.3f}% "
+              f"(SEM {csem / j_ref * 100:.3f}%), kappa_anh = "
+              f"{(j_exact + corr) / (T * DELTA) * U.CURCOF:.5f} nW/K")
     np.savez(out, j0=j0, d1=d1, d2=d2, ntraj=ntraj, nmd=nmd,
              chunk=chunk, seed=seed, wall_s=wall, fd2=fd2,
-             ref=ref, gate=gate, family=family)
+             ref=ref, gate=gate, family=family, order=order)
     print(f"  -> {out}")
     return j0, d1, d2
 
@@ -160,5 +166,6 @@ if __name__ == "__main__":
                           lambda s: s if s == "auto" else float(s)),
                   ref=arg("--ref", "eff", str),
                   family=arg("--family", "poly", str),
+                  order=arg("--order", 1),
                   out=arg("--out", OUT, str),
                   debug="--debug" in sys.argv)

@@ -711,6 +711,16 @@ class TestPerturbativeFamilies:
         np.testing.assert_allclose(d1a, d1n, rtol=1e-7,
                                    atol=1e-12 * scale)
         assert np.abs(d2a - d2n).max() / scale < 0.05
+        # order=1 (gate + d1-null mode, the flagship production
+        # setting): identical j0/d1 — they are exactly independent of
+        # the skipped x*'' pieces — and d2 = NaN placeholder
+        j01, d11, d21 = perturbative_anharmonic_response(
+            base, build_anh, TL, TR, ntraj, seed=5,
+            family="taylor", order=1)
+        np.testing.assert_allclose(j01, j0n, rtol=1e-9)
+        np.testing.assert_allclose(d11, d1n, rtol=1e-7,
+                                   atol=1e-12 * scale)
+        assert np.isnan(d21).all()
 
 
 class TestExpectedCurrentsSlow:
