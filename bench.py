@@ -811,7 +811,10 @@ def main():
         # (incl. the explicit *_missing markers — silence is how the r4
         # production observable went unmeasured unnoticed)
         for k, v in xa.items():
-            if k.startswith(("anh", "error")):
+            if k.startswith("anharmonic_quantum") or k == "anh_quantum_source":
+                # the production observable — top-level, unprefixed
+                result[k] = v
+            elif k.startswith(("anh", "error")):
                 result["crosscheck_" + k if k.startswith("anh")
                        else "crosscheck_anh_" + k] = v
     print(json.dumps(result))
